@@ -1,0 +1,366 @@
+"""Batched Viterbi alignment on device (JAX/XLA).
+
+TPU-native redesign of the reference DP (reference:
+src/BandedHMMP7.cpp:748-780 full DP, :782-892 banded DP, :943-1006
+traceback).  The reference fills an (L+1)x(K+1) cost matrix
+cell-by-cell per read on one CPU thread; here a whole read batch is
+processed at once with a `lax.scan` over read positions (rows).  Each
+step updates all K+1 profile lanes of all B reads on the VPU:
+
+  * M and I recurrences are elementwise in the lane dimension
+    (they read the previous row only);
+  * the within-row D chain  D(i,j) = min(M(i,j-1)+c_MD, D(i,j-1)+c_DD)
+    is a min-plus linear recurrence solved with
+    `lax.associative_scan` in O(log K) depth;
+  * banding is expressed as per-read rectangular/diagonal cell masks
+    computed on device from a handful of scalars (no per-cell mask
+    transfer) — outside cells are pinned to +inf, which makes the
+    banded and the full DP the same kernel.
+
+Traceback runs on the host from packed 4-bit argmin planes (2 bits for
+the M choice, 1 bit each for I and D), matching the reference's
+whichMin tie-breaking (B,M,I,D first-strict-min order).
+
+Known deviation from the reference: where banded regions overlap (the
+single boundary row/column between a seed region and the downstream
+extension), the reference recomputes those cells dropping the B-entry
+option (BandedHMMP7.cpp:838-870) while this kernel allows B-entry if
+any covering region allows it; this can only lower the cost of rare
+boundary cells and does not change category assignments.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .profile import (HmmAlignment, K_MIN_GAP_FRAC, ProfileHMM,
+                      ViterbiAlignPath, build_global_align)
+
+INF = jnp.inf
+# region tuple layout: (j_lo, j_hi, i_lo, i_hi, entry_ok, diag, lo_d, hi_d)
+REGION_WIDTH = 8
+MAX_REGIONS = 5
+
+
+class DeviceHMM(NamedTuple):
+    """Cost arrays of a ProfileHMM staged on device (a jax pytree)."""
+    EM: jax.Array        # [4, K+1] match emission costs
+    EI: jax.Array        # [4, K+1]
+    TMM: jax.Array       # [K+1] transition costs by source position
+    TMI: jax.Array
+    TMD: jax.Array
+    TIM: jax.Array
+    TII: jax.Array
+    TDM: jax.Array
+    TDD: jax.Array
+    entry: jax.Array     # [K+1]
+    exit: jax.Array      # [K+1]
+    t_NN: jax.Array      # scalars
+    t_NB: jax.Array
+    t_CC: jax.Array
+    t_EC: jax.Array
+
+    @property
+    def K(self) -> int:
+        return self.EM.shape[1] - 1
+
+    @classmethod
+    def from_profile(cls, hmm: ProfileHMM, dtype=jnp.float32) -> "DeviceHMM":
+        t = hmm.Tmat_cost
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        return cls(
+            EM=f(hmm.E_M_cost), EI=f(hmm.E_I_cost),
+            TMM=f(t[:, 0, 0]), TMI=f(t[:, 0, 1]), TMD=f(t[:, 0, 2]),
+            TIM=f(t[:, 1, 0]), TII=f(t[:, 1, 1]),
+            TDM=f(t[:, 2, 0]), TDD=f(t[:, 2, 2]),
+            entry=f(hmm.entry_cost), exit=f(hmm.exit_cost),
+            t_NN=f(hmm.t_NN_cost), t_NB=f(hmm.t_NB_cost),
+            t_CC=f(hmm.t_CC_cost), t_EC=f(hmm.t_EC_cost),
+        )
+
+
+def full_dp_regions(n_rows: int, K: int) -> np.ndarray:
+    """A single all-covering region with B-entry allowed (full DP)."""
+    r = np.zeros((MAX_REGIONS, REGION_WIDTH), dtype=np.int32)
+    r[0] = (1, K, 1, n_rows, 1, 0, 0, 0)
+    return r
+
+
+def banded_regions(vpaths: list[ViterbiAlignPath], K: int,
+                   L_read: int) -> np.ndarray:
+    """Region scalars replicating the reference's banded boundaries
+    (reference calcViterbiScores banded, BandedHMMP7.cpp:782-892)."""
+    r = np.zeros((MAX_REGIONS, REGION_WIDTH), dtype=np.int32)
+    n = 0
+    for p, vp in enumerate(vpaths):
+        if p == 0:
+            up_q = max(vp.from_ - 1, 0)
+            up_start = max(int(vp.start - up_q * (1 + K_MIN_GAP_FRAC)), 1)
+            up_from = max(int(vp.from_ - up_q * (1 + K_MIN_GAP_FRAC)), 1)
+        else:
+            prev = vpaths[p - 1]
+            up_start = max(prev.end, 1)
+            up_from = max(prev.to, 1)
+        # upstream rectangle (B-entry allowed)
+        r[n] = (up_start, vp.start, up_from, vp.from_, 1, 0, 0, 0)
+        n += 1
+        # the seed diagonal band (B-entry allowed, diag constrained)
+        r[n] = (vp.start, vp.end, vp.from_, vp.to, 1, 1,
+                -vp.n_del, vp.n_ins)
+        n += 1
+    last = vpaths[-1]
+    down_q = L_read - last.to
+    down_end = min(int(last.end + down_q * (1 + K_MIN_GAP_FRAC)), K)
+    down_to = min(int(last.to + down_q * (1 + K_MIN_GAP_FRAC)), L_read)
+    r[n] = (last.end, down_end, last.to, down_to, 0, 0, 0, 0)
+    return r
+
+
+def _row_masks(regions: jax.Array, i: jax.Array, jj: jax.Array):
+    """allowed[K+1] and entry_ok[K+1] lane masks for row i from region
+    scalars [R, 8]; jj = lane indices [K+1]."""
+    j_lo, j_hi, i_lo, i_hi, entry, diag, lo_d, hi_d = [
+        regions[:, c][:, None] for c in range(REGION_WIDTH)]
+    in_rect = ((jj[None, :] >= j_lo) & (jj[None, :] <= j_hi)
+               & (i >= i_lo) & (i <= i_hi))
+    dist = (i - i_lo) - (jj[None, :] - j_lo)   # diagnalDist (h:705-708)
+    ok_diag = (diag == 0) | ((dist >= lo_d) & (dist <= hi_d))
+    covered = in_rect & ok_diag
+    allowed = covered.any(axis=0)
+    entry_ok = (covered & (entry == 1)).any(axis=0)
+    return allowed, entry_ok
+
+
+@partial(jax.jit, static_argnames=("n_rows",))
+def viterbi_scan(dh: DeviceHMM, codes: jax.Array, lengths: jax.Array,
+                 regions: jax.Array, n_rows: int):
+    """Run the batched Viterbi DP.
+
+    codes: [B, n_rows] int8 read bases (0..3; padding ignored)
+    lengths: [B] int32
+    regions: [B, MAX_REGIONS, 8] int32 band regions
+    Returns (min_score [B], min_i [B], min_j [B],
+             choices [n_rows, B, K+1] uint8).
+    """
+    B = codes.shape[0]
+    K = dh.K
+    dtype = dh.EM.dtype
+    jj = jnp.arange(K + 1)
+
+    def shift1(x, fill=INF):
+        """x[..., j] -> x[..., j-1] with +inf at lane 0."""
+        pad = jnp.full(x.shape[:-1] + (1,), fill, x.dtype)
+        return jnp.concatenate([pad, x[..., :-1]], axis=-1)
+
+    TMM_sh = shift1(dh.TMM)
+    TIM_sh = shift1(dh.TIM)
+    TDM_sh = shift1(dh.TDM)
+    TMD_sh = shift1(dh.TMD)
+    TDD_sh = shift1(dh.TDD)
+
+    d_invalid = (jj <= 1) | (jj >= K)   # D1 and DK are wing-retracted
+
+    def step(carry, i):
+        Mp, Ip, Dp, best, best_i, best_j = carry
+        b = jnp.clip(codes[:, i - 1], 0, 3).astype(jnp.int32)
+        em = dh.EM[b]                    # [B, K+1] (axis 0 = base)
+        ei = dh.EI[b]
+
+        col0 = jnp.where(i == 1, jnp.zeros((), dtype),
+                         dh.t_NN * (i - 1)) + dh.t_NB
+
+        allowed, entry_ok = jax.vmap(_row_masks, in_axes=(0, None, None))(
+            regions, i, jj)
+        allowed = allowed & (jj >= 1)
+        entry_ok = entry_ok & (jj >= 1)
+
+        optB = jnp.where(entry_ok, col0 + dh.entry[None, :], INF)
+        optM = shift1(Mp) + TMM_sh[None, :]
+        optI = shift1(Ip) + TIM_sh[None, :]
+        optD = shift1(Dp) + TDM_sh[None, :]
+        stacked = jnp.stack([optB, optM, optI, optD])       # [4, B, K+1]
+        Mn = em + stacked.min(axis=0)
+        choiceM = stacked.argmin(axis=0).astype(jnp.uint8)
+        # traceback at j==1 considers only the B/I pair (cpp:966-973)
+        c1 = jnp.where(optB[:, 1] <= optI[:, 1], 0, 2).astype(jnp.uint8)
+        choiceM = choiceM.at[:, 1].set(c1)
+        Mn = jnp.where(allowed, Mn, INF)
+        Mn = Mn.at[:, 0].set(col0)
+
+        iM = Mp + dh.TMI[None, :]
+        iI = Ip + dh.TII[None, :]
+        In = ei + jnp.minimum(iM, iI)
+        choiceI = (iM > iI).astype(jnp.uint8)
+        In = jnp.where(allowed, In, INF)
+        In = In.at[:, 0].set(col0)
+        # j==0 I choice: current-row B column vs I(i-1,0) (cpp:978-983)
+        choiceI = choiceI.at[:, 0].set(
+            (Mn[:, 0] + dh.TMI[0] > Ip[:, 0] + dh.TII[0]).astype(jnp.uint8))
+
+        # D chain x_j = min(a_j, x_{j-1} + c_j) via min-plus
+        # associative scan in O(log K) depth
+        Mn_sh = shift1(Mn)
+        a = jnp.where(~d_invalid[None, :] & allowed,
+                      Mn_sh + TMD_sh[None, :], INF)
+        c = jnp.where(~d_invalid[None, :] & allowed, TDD_sh[None, :], INF)
+
+        def combine(x, y):
+            cx, ax = x
+            cy, ay = y
+            return cx + cy, jnp.minimum(ax + cy, ay)
+
+        _, Dn = jax.lax.associative_scan(combine, (c, a), axis=1)
+        Dn = jnp.where(d_invalid[None, :], INF, Dn)
+        # D choice: fresh from M(i,j-1) vs continue D(i,j-1) (cpp:996)
+        choiceD = (Mn_sh + TMD_sh[None, :]
+                   > shift1(Dn) + TDD_sh[None, :]).astype(jnp.uint8)
+
+        # final S row (cpp:772-779): M cols + IK exit, E->C, C loops
+        rem = (lengths - i).astype(dtype)
+        c_loops = jnp.where(i < lengths, dh.t_CC * rem,
+                            jnp.zeros((), dtype))
+        s_m = Mn + dh.exit[None, :] + dh.t_EC + c_loops[:, None]
+        s_i = In[:, K] + dh.TIM[K] + dh.t_EC + c_loops
+        live = i <= lengths
+        s_m = jnp.where(live[:, None], s_m, INF)
+        s_i = jnp.where(live, s_i, INF)
+        row_all = jnp.concatenate([s_m, s_i[:, None]], axis=1)  # [B, K+2]
+        row_j = row_all.argmin(axis=1).astype(jnp.int32)
+        row_min = row_all.min(axis=1)
+        # column-major (j-first) first-occurrence tie-breaking like
+        # Eigen minCoeff (cpp:945)
+        upd = (row_min < best) | ((row_min == best) & (row_j < best_j))
+        best = jnp.where(upd, row_min, best)
+        best_i = jnp.where(upd, jnp.int32(i), best_i)
+        best_j = jnp.where(upd, row_j, best_j)
+
+        choices = (choiceM | (choiceI << 2) | (choiceD << 3)).astype(
+            jnp.uint8)
+        return (Mn, In, Dn, best, best_i, best_j), choices
+
+    init = (jnp.full((B, K + 1), INF, dtype),
+            jnp.full((B, K + 1), INF, dtype),
+            jnp.full((B, K + 1), INF, dtype),
+            jnp.full((B,), INF, dtype),
+            jnp.zeros((B,), jnp.int32),
+            jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32))
+    (_, _, _, best, best_i, best_j), choices = jax.lax.scan(
+        step, init, jnp.arange(1, n_rows + 1, dtype=jnp.int32))
+    return best, best_i, best_j, choices
+
+
+def traceback(choices: np.ndarray, min_i: int, min_j: int, K: int
+              ) -> tuple[str, int, int, int, int]:
+    """Host traceback over the packed choice planes
+    (reference buildViterbiTrace, BandedHMMP7.cpp:943-1006).
+
+    choices: [n_rows, K+1] uint8 for ONE read (row r = seq pos r+1)
+    Returns (trace, aln_start, aln_end, aln_from, aln_to), 1-based.
+    """
+    s = "M" if min_j <= K else "I"
+    i = min_i
+    j = min_j if min_j <= K else K
+    aln_end, aln_to = j, i
+    trace = ["E"]
+    codes_m = "BMID"
+    while i >= 1 and j >= 0:
+        trace.append(s)
+        ch = int(choices[i - 1, j])
+        if s == "M":
+            s = codes_m[ch & 3]
+            i -= 1
+            j -= 1
+        elif s == "I":
+            c = (ch >> 2) & 1
+            s = ("MI" if j > 0 else "BI")[c]
+            i -= 1
+        elif s == "D":
+            s = "MD"[(ch >> 3) & 1]
+            j -= 1
+        else:  # B
+            break
+    aln_start = j + 1
+    aln_from = i + 1
+    if trace[-1] != "B":
+        trace.append("B")
+    return "".join(reversed(trace)), aln_start, aln_end, aln_from, aln_to
+
+
+class ViterbiAligner:
+    """High-level batched aligner: device DP + host traceback/align."""
+
+    def __init__(self, hmm: ProfileHMM, dtype=jnp.float32):
+        self.hmm = hmm
+        self.dh = DeviceHMM.from_profile(hmm, dtype)
+
+    def refresh(self):
+        """Re-stage cost arrays (after a mode change on the host hmm)."""
+        self.dh = DeviceHMM.from_profile(self.hmm, self.dh.EM.dtype)
+
+    def align_batch(self, seqs: list[str],
+                    vpaths_per_read: list[list[ViterbiAlignPath] | None]
+                    | None = None,
+                    max_len: int | None = None) -> list[HmmAlignment]:
+        """Align a batch of reads; vpaths_per_read[i] is None/[] for a
+        full (unbanded) DP, else the seed paths for a banded DP.
+        Reads whose banded DP finds no finite path are automatically
+        re-run unbanded (reference HmmUFOtu_main.cpp:89-96)."""
+        hmm = self.hmm
+        B = len(seqs)
+        if vpaths_per_read is None:
+            vpaths_per_read = [None] * B
+        n_rows = max_len or max(len(s) for s in seqs)
+        codes = np.zeros((B, n_rows), dtype=np.int8)
+        lengths = np.zeros(B, dtype=np.int32)
+        regions = np.zeros((B, MAX_REGIONS, REGION_WIDTH), dtype=np.int32)
+        for r, s in enumerate(seqs):
+            enc = hmm.abc.encode(s.upper())
+            codes[r, :len(enc)] = np.clip(enc, 0, 3)
+            lengths[r] = len(s)
+            vps = vpaths_per_read[r]
+            if vps:
+                regions[r] = banded_regions(vps, hmm.K, len(s))
+            else:
+                regions[r] = full_dp_regions(n_rows, hmm.K)
+
+        score, mi, mj, choices = viterbi_scan(
+            self.dh, jnp.asarray(codes), jnp.asarray(lengths),
+            jnp.asarray(regions), n_rows)
+        score = np.asarray(score).copy()
+        mi = np.asarray(mi).copy()
+        mj = np.asarray(mj).copy()
+        choices = np.asarray(choices)
+
+        # banded failures -> full DP rerun
+        failed = [r for r in range(B)
+                  if not np.isfinite(score[r]) and vpaths_per_read[r]]
+        if failed:
+            regions2 = regions.copy()
+            for r in failed:
+                regions2[r] = full_dp_regions(n_rows, hmm.K)
+            s2, i2, j2, c2 = viterbi_scan(
+                self.dh, jnp.asarray(codes), jnp.asarray(lengths),
+                jnp.asarray(regions2), n_rows)
+            s2, i2, j2 = np.asarray(s2), np.asarray(i2), np.asarray(j2)
+            c2 = np.asarray(c2)
+            choices = choices.copy()
+            for r in failed:
+                score[r], mi[r], mj[r] = s2[r], i2[r], j2[r]
+                choices[:, r] = c2[:, r]
+
+        alns = []
+        for r in range(B):
+            if not np.isfinite(score[r]):
+                alns.append(HmmAlignment())
+                continue
+            trace, a_start, a_end, a_from, a_to = traceback(
+                choices[:, r], int(mi[r]), int(mj[r]), hmm.K)
+            alns.append(build_global_align(
+                hmm, seqs[r], trace, a_start, a_end, a_from, a_to,
+                float(score[r])))
+        return alns

@@ -1,0 +1,337 @@
+"""Consensus-Sequence FM-index (host-side, vectorized numpy).
+
+reference: src/CSFMIndex.{h,cpp} — concatenate all ungapped residues of
+every MSA row with '\\0' separators keeping a concat-position ->
+consensus-column map (cpp:287-325), suffix array (libdivsufsort), BWT
+with rank structure, SA sampled every 4 text positions (cpp:327-368);
+queries are backward-search LF-mappings (cpp:43-174) returning CSLoc
+(consensus interval + gapped CS substring, cpp:262-273).
+
+Redesign notes: the vendored libdivsufsort + libcds wavelet-tree/RRR
+stack (L0) is replaced by a numpy prefix-doubling suffix array and a
+dense per-symbol rank (cumulative-count) table — alphabet size is only
+6, so ranks are plain int32 cumsums and every query step is O(1)
+vectorized over an arbitrary batch of patterns.  Seed lookup for a
+whole read batch therefore runs as ~20 lockstep LF-mapping steps over
+thousands of k-mers at once instead of per-pattern pointer chasing.
+The index is built once per database and stays on the host; only the
+resulting band coordinates feed the device DP.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+import numpy as np
+
+from ..alphabet import DNA, GAP_BASE
+
+SA_SAMPLE_RATE = 4  # reference CSFMIndex.h:133
+
+
+@dataclass
+class CSLoc:
+    """A consensus-coordinate hit (reference src/CSLoc.h:21-47);
+    start/end are 1-based CS positions, cs the gapped CS string."""
+    start: int = 0
+    end: int = 0
+    cs: str = ""
+
+    def is_valid(self, cs_from: int | None = None,
+                 cs_to: int | None = None) -> bool:
+        ok = 0 < self.start <= self.end and bool(self.cs)
+        if cs_from is not None:
+            ok = ok and 0 < cs_from <= cs_to
+        return ok
+
+
+def suffix_array(s: np.ndarray) -> np.ndarray:
+    """Suffix array by prefix doubling (O(n log n) numpy sorts).
+
+    Functional replacement for divsufsort()
+    (reference src/libdivsufsort/include/divsufsort.h:76).
+    """
+    n = len(s)
+    rank = s.astype(np.int64)
+    k = 1
+    order = np.argsort(rank, kind="stable")
+    while True:
+        key2 = np.full(n, -1, dtype=np.int64)
+        key2[: n - k] = rank[k:]
+        order = np.lexsort((key2, rank))
+        r1 = rank[order]
+        r2 = key2[order]
+        diff = np.ones(n, dtype=bool)
+        diff[1:] = (r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])
+        new_rank = np.empty(n, dtype=np.int64)
+        new_rank[order] = np.cumsum(diff) - 1
+        rank = new_rank
+        if rank[order[-1]] == n - 1:
+            return order.astype(np.int64)
+        k *= 2
+
+
+class CSFMIndex:
+    """FM-index over the MSA's concatenated ungapped residues."""
+
+    def __init__(self):
+        self.abc = DNA
+        self.gap_ch = "-"
+        self.cs_len = 0
+        self.concat_len = 0
+        self.cs_seq = ""               # 1-based (dummy pos 0)
+        self.cs_identity = np.zeros(0)
+        self.concat2cs = np.zeros(0, dtype=np.uint16)
+        self.C = np.zeros(7, dtype=np.int64)
+        self.bwt = np.zeros(0, dtype=np.int8)
+        self.occ = np.zeros((0, 0), dtype=np.int32)
+        self.sampled_rows = np.zeros(0, dtype=np.int64)
+        self.sampled_vals = np.zeros(0, dtype=np.int64)
+
+    # ----- build ----------------------------------------------------------
+    @classmethod
+    def build(cls, msa) -> "CSFMIndex":
+        if msa.cs_len > np.iinfo(np.uint16).max:
+            raise ValueError("CSFMIndex cannot handle MSA with consensus "
+                             "length longer than 65535")
+        idx = cls()
+        idx.abc = msa.abc
+        idx.gap_ch = msa.abc.gap_char
+        idx.cs_len = msa.cs_len
+        idx.cs_seq = " " + msa.get_cs()
+        idx.cs_identity = np.concatenate([[0.0], msa.identity_at()])
+
+        # concat of encoded (1..4) residues + 0 separators per seq,
+        # final extra 0 terminal (reference buildConcatSeq)
+        codes = msa.abc.encode_upper(msa.chars)     # [N, L] int8
+        res = codes >= 0
+        n_res = int(res.sum())
+        N = msa.num_seq
+        idx.concat_len = n_res + N
+        total = idx.concat_len + 1
+        concat = np.zeros(total, dtype=np.int8)
+        concat2cs = np.zeros(total, dtype=np.uint16)
+
+        # row-major walk: residues of each seq then one separator
+        cols = np.tile(np.arange(msa.cs_len, dtype=np.int64), (N, 1))
+        res_per_row = res.sum(axis=1)
+        # output offsets: each row i starts at sum(res_per_row[:i]) + i
+        row_start = np.concatenate([[0], np.cumsum(res_per_row + 1)[:-1]])
+        within = np.cumsum(res, axis=1) - 1        # position within row
+        out_pos = (row_start[:, None] + within)[res]
+        concat[out_pos] = codes[res] + 1
+        concat2cs[out_pos] = cols[res] + 1          # 1-based CS pos
+
+        sa = suffix_array(concat)
+        idx.concat2cs = concat2cs
+
+        # cumulative counts C[b] = # chars < b (0 = separator/null)
+        counts = np.bincount(concat + 0, minlength=6).astype(np.int64)
+        idx.C = np.concatenate([[0], np.cumsum(counts)])
+
+        # BWT + dense rank tables
+        bwt = np.where(sa == 0, 0, concat[sa - 1]).astype(np.int8)
+        idx.bwt = bwt
+        idx.occ = np.stack([np.cumsum(bwt == b) for b in range(5)],
+                           axis=0).astype(np.int32)
+
+        # sampled SA (every SA_SAMPLE_RATE text positions)
+        mask = sa % SA_SAMPLE_RATE == 0
+        idx.sampled_rows = np.nonzero(mask)[0]
+        idx.sampled_vals = sa[mask]
+        return idx
+
+    # ----- rank / LF ------------------------------------------------------
+    def _rank(self, b, i):
+        """Count of symbol b in bwt[0..i] inclusive (vectorized)."""
+        i = np.asarray(i)
+        out = np.where(i >= 0, self.occ[b, np.maximum(i, 0)], 0)
+        return out
+
+    def _backward_search(self, patterns: np.ndarray
+                         ) -> tuple[np.ndarray, np.ndarray]:
+        """Batched backward search.
+
+        patterns: [M, plen] int8 encoded 1..5 (0 rows are skipped).
+        Returns (start, end) inclusive 0-based SA row ranges; empty
+        match if start > end.
+        """
+        Mn, plen = patterns.shape
+        start = np.zeros(Mn, dtype=np.int64)
+        end = np.full(Mn, self.concat_len, dtype=np.int64)
+        for p in range(plen - 1, -1, -1):
+            b = patterns[:, p].astype(np.int64)
+            live = start <= end
+            first = start == 0
+            s_new = np.where(first, self.C[b],
+                             self.C[b] + self._rank(b, start - 1))
+            e_new = np.where(first, self.C[b + 1] - 1,
+                             self.C[b] + self._rank(b, end) - 1)
+            start = np.where(live, s_new, start)
+            end = np.where(live, e_new, end)
+        return start, end
+
+    def _access_sa(self, rows: np.ndarray) -> np.ndarray:
+        """Batched SA access via LF walking to a sampled row
+        (reference accessSA, cpp:252-260)."""
+        rows = np.asarray(rows, dtype=np.int64).copy()
+        dist = np.zeros(rows.shape, dtype=np.int64)
+        out = np.zeros(rows.shape, dtype=np.int64)
+        active = np.ones(rows.shape, dtype=bool)
+        while active.any():
+            pos = np.searchsorted(self.sampled_rows, rows[active])
+            hit = (pos < len(self.sampled_rows)) \
+                & (self.sampled_rows[np.minimum(
+                    pos, len(self.sampled_rows) - 1)] == rows[active])
+            act_idx = np.nonzero(active)[0]
+            done = act_idx[hit]
+            out[done] = self.sampled_vals[pos[hit]] + dist[done]
+            active[done] = False
+            walk = act_idx[~hit]
+            if walk.size == 0:
+                break
+            r = rows[walk]
+            b = self.bwt[r].astype(np.int64)
+            rows[walk] = self.C[b] + self._rank(b, r) - 1
+            dist[walk] += 1
+        return out
+
+    # ----- queries --------------------------------------------------------
+    def _encode(self, pattern: str) -> np.ndarray:
+        return (self.abc.encode(pattern.upper()).astype(np.int64) + 1)
+
+    def count(self, pattern: str) -> int:
+        if not pattern:
+            return 0
+        s, e = self._backward_search(self._encode(pattern)[None, :])
+        return int(max(e[0] - s[0] + 1, 0))
+
+    def _cs_loc(self, concat_start: int, pattern: str) -> CSLoc:
+        plen = len(pattern)
+        cs_start = int(self.concat2cs[concat_start])
+        cs_end = int(self.concat2cs[concat_start + plen - 1])
+        # re-insert consensus gaps between matched pattern chars
+        # (reference extractCS, cpp:262-273)
+        cs_pos = self.concat2cs[concat_start:concat_start + plen]
+        chars = []
+        for t in range(plen):
+            if t > 0 and int(cs_pos[t]) - int(cs_pos[t - 1]) > 1:
+                chars.append(self.gap_ch * (int(cs_pos[t])
+                                            - int(cs_pos[t - 1]) - 1))
+            chars.append(pattern[t])
+        return CSLoc(cs_start, cs_end, "".join(chars))
+
+    def locate(self, pattern: str) -> list[CSLoc]:
+        if not pattern:
+            return []
+        s, e = self._backward_search(self._encode(pattern)[None, :])
+        s, e = int(s[0]), int(e[0])
+        if s > e:
+            return []
+        starts = self._access_sa(np.arange(s, e + 1))
+        return [self._cs_loc(int(cs), pattern) for cs in starts]
+
+    def locate_first(self, pattern: str) -> CSLoc:
+        if not pattern:
+            return CSLoc()
+        s, e = self._backward_search(self._encode(pattern)[None, :])
+        if s[0] > e[0]:
+            return CSLoc()
+        start = self._access_sa(np.array([s[0]]))[0]
+        return self._cs_loc(int(start), pattern)
+
+    def locate_one(self, pattern: str,
+                   rng: np.random.Generator | None = None) -> CSLoc:
+        """Random occurrence (reference locateOne picks rand() % n,
+        CSFMIndex.cpp:121-146)."""
+        if not pattern:
+            return CSLoc()
+        s, e = self._backward_search(self._encode(pattern)[None, :])
+        if s[0] > e[0]:
+            return CSLoc()
+        if rng is None:
+            row = int(s[0])
+        else:
+            row = int(s[0] + rng.integers(e[0] - s[0] + 1))
+        start = self._access_sa(np.array([row]))[0]
+        return self._cs_loc(int(start), pattern)
+
+    def locate_index(self, pattern: str) -> set[int]:
+        """0-based indices of the MSA rows containing the pattern."""
+        if not pattern:
+            return set()
+        s, e = self._backward_search(self._encode(pattern)[None, :])
+        s, e = int(s[0]), int(e[0])
+        if s > e:
+            return set()
+        starts = self._access_sa(np.arange(s, e + 1))
+        # row of a concat position = number of separators before it
+        # (the reference divides by csLen+1 assuming fixed-length rows,
+        # CSFMIndex.cpp:166-171; separator counting is the general form)
+        return set(int(np.searchsorted(self._row_bounds(), st))
+                   for st in starts)
+
+    def _row_bounds(self) -> np.ndarray:
+        if not hasattr(self, "_bounds"):
+            # separator positions in the concat text: concat2cs == 0
+            # marks separators (and the final null terminator)
+            self._bounds = np.nonzero(self.concat2cs[:-1] == 0)[0]
+        return self._bounds
+
+    def batch_locate_one(self, patterns: list[str],
+                         rng: np.random.Generator | None = None
+                         ) -> list[CSLoc]:
+        """Lockstep backward search of many equal-length patterns —
+        the batched form used for whole read batches' seed lookups."""
+        if not patterns:
+            return []
+        plen = len(patterns[0])
+        enc = np.stack([self._encode(p) for p in patterns])
+        s, e = self._backward_search(enc)
+        ok = s <= e
+        rows = s.copy()
+        if rng is not None and ok.any():
+            rows[ok] = s[ok] + (rng.integers(0, 2**63 - 1, size=int(ok.sum()))
+                                % (e[ok] - s[ok] + 1))
+        out: list[CSLoc] = [CSLoc()] * len(patterns)
+        if ok.any():
+            starts = self._access_sa(rows[ok])
+            for t, gi in enumerate(np.nonzero(ok)[0]):
+                out[gi] = self._cs_loc(int(starts[t]), patterns[gi])
+        return out
+
+    # ----- serialization --------------------------------------------------
+    def save(self, path: str):
+        np.savez_compressed(
+            path,
+            fmt=np.array(["hmmufotu-tpu-csfm-v1"]),
+            alphabet=np.array([self.abc.name]),
+            cs_len=np.array([self.cs_len]),
+            concat_len=np.array([self.concat_len]),
+            cs_seq=np.array([self.cs_seq]),
+            cs_identity=self.cs_identity,
+            concat2cs=self.concat2cs,
+            C=self.C, bwt=self.bwt, occ=self.occ,
+            sampled_rows=self.sampled_rows,
+            sampled_vals=self.sampled_vals,
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "CSFMIndex":
+        from ..alphabet import get_alphabet
+        idx = cls()
+        with np.load(path, allow_pickle=False) as z:
+            idx.abc = get_alphabet(str(z["alphabet"][0]))
+            idx.gap_ch = idx.abc.gap_char
+            idx.cs_len = int(z["cs_len"][0])
+            idx.concat_len = int(z["concat_len"][0])
+            idx.cs_seq = str(z["cs_seq"][0])
+            idx.cs_identity = z["cs_identity"]
+            idx.concat2cs = z["concat2cs"]
+            idx.C = z["C"]
+            idx.bwt = z["bwt"]
+            idx.occ = z["occ"]
+            idx.sampled_rows = z["sampled_rows"]
+            idx.sampled_vals = z["sampled_vals"]
+        return idx

