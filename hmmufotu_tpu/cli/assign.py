@@ -1,0 +1,294 @@
+"""Main read assigner CLI (reference: src/hmmufotu.cpp).
+
+Loads the 4-file DB, batch-aligns reads with the banded device
+Viterbi, then runs SEP placement per read: seed (vectorized p-dist) ->
+estimate -> filter -> accurate place -> Q values; writes the TSV with
+the reference's column layout (hmmufotu.cpp:590-594).  Reads are
+processed in device-sized batches instead of the reference's
+task-per-read OpenMP loop (hmmufotu.cpp:603-610).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import math
+import sys
+
+import numpy as np
+
+from . import PROG_NAME, prog_header, setup_logging
+from ..db import Database
+from ..hmm import GLOBAL, NGCL, HmmAlignment, ViterbiAligner
+from ..hmm.profile import HMM_ALIGN_TSV_HEADER
+from ..phylo import PTPlacement
+from ..phylo.tree import (PLACEMENT_TSV_HEADER, UNASSIGNED_ID,
+                          UNASSIGNED_TAXONID, UNASSIGNED_TAXONNAME, p_dist)
+from ..seq import SeqWriter, read_seqs
+from .. import pipeline as pl
+
+log = logging.getLogger(__name__)
+
+ALN_TSV_HEADER = ("seq_start\tseq_end\thmm_start\thmm_end\tCS_start\t"
+                  "CS_end\tcost\talignment")   # BandedHMMP7.cpp:51
+CHIMERA_TSV_HEADER = ("seg5_taxon_id\tseg3_taxon_id\tseg5_taxon_anno\t"
+                      "seg3_taxon_anno\tchimera_lod")  # hmmufotu.cpp:57
+DEFAULT_BATCH = 64
+STRAND_CONFIDENCE = 0.9     # hmmufotu.cpp:41
+MIN_STRAND_TEST = 10
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(
+        prog=PROG_NAME,
+        description="Ultra-fast microbiome amplicon sequencing read "
+                    "taxonomy assignment (TPU-native)")
+    p.add_argument("db", help="database prefix")
+    p.add_argument("reads", help="forward read file (fasta/fastq)")
+    p.add_argument("mates", nargs="?", default="",
+                   help="optional reverse read file")
+    p.add_argument("-o", dest="out", default="-",
+                   help="assignment TSV output")
+    p.add_argument("-a", "--align-out", default="",
+                   help="write aligned reads fasta")
+    p.add_argument("-L", "--seed-len", type=int,
+                   default=pl.DEFAULT_SEED_LEN)
+    p.add_argument("-R", dest="seed_region", type=int,
+                   default=pl.DEFAULT_SEED_REGION)
+    p.add_argument("-s", "--strand", type=int, default=0,
+                   choices=[0, 1, 2])
+    p.add_argument("-t", "--test", type=int, default=MIN_STRAND_TEST)
+    p.add_argument("-N", dest="max_nseed", type=int,
+                   default=pl.DEFAULT_MAX_NSEED)
+    p.add_argument("-d", "--max-diff", type=float, default=math.inf)
+    p.add_argument("-H", "--max-height", type=float, default=math.inf)
+    p.add_argument("-e", "--err", type=float,
+                   default=pl.DEFAULT_MAX_PLACE_ERROR)
+    p.add_argument("-m", "--method", default="unweighted",
+                   choices=["unweighted", "weighted"])
+    p.add_argument("--ML", action="store_true", dest="ml_only")
+    p.add_argument("--prior", default="uniform",
+                   choices=["uniform", "height"])
+    p.add_argument("-C", "--chimera", action="store_true",
+                   help="enable chimera checking")
+    p.add_argument("--num-segment", type=int, default=2)
+    p.add_argument("--chimera-err", type=float, default=math.inf)
+    p.add_argument("--chimera-lod", type=float, default=0.0)
+    p.add_argument("--chimera-out", default="")
+    p.add_argument("--single", action="store_true",
+                   help="assemble/single mode: GLOBAL alignment")
+    p.add_argument("--ignore-orient", action="store_true")
+    p.add_argument("--align-only", action="store_true")
+    p.add_argument("-S", "--seed", type=int, default=None)
+    p.add_argument("-b", "--batch", type=int, default=DEFAULT_BATCH)
+    p.add_argument("-v", action="count", default=0, dest="verbose")
+    return p
+
+
+def aln_tsv(aln: HmmAlignment) -> str:
+    return (f"{aln.seq_start}\t{aln.seq_end}\t{aln.hmm_start}\t"
+            f"{aln.hmm_end}\t{aln.cs_start}\t{aln.cs_end}\t"
+            f"{aln.cost:g}\t{aln.align}")
+
+
+def place_tsv(tree, place: PTPlacement | None) -> str:
+    if place is None or place.c_node < 0:
+        return (f"{UNASSIGNED_ID}\tnan\t{UNASSIGNED_TAXONID}\t"
+                f"{UNASSIGNED_TAXONNAME}\tnan\tnan\tnan\tnan")
+    anno_dist = place.get_anno_dist(tree) + float(
+        tree.anno_dist[place.a_node])
+    return (f"{place.get_id()}\t{place.ratio:g}\t{place.a_node}\t"
+            f"{tree.anno[place.a_node]}\t{anno_dist:g}\t"
+            f"{place.loglik:g}\t{place.q_place:g}\t{place.q_taxon:g}")
+
+
+def detect_strand(aligner, csfm, reads, mode, n_test, rng) -> int:
+    """Strand auto-detection by alignment cost on the first reads
+    (reference hmmufotu.cpp:500-545)."""
+    from ..alphabet import DNA
+    sample = reads[:n_test]
+    fwd_alns = pl.align_reads(aligner, csfm, sample, mode=mode, rng=rng)
+    rev_alns = pl.align_reads(aligner, csfm,
+                              [DNA.revcom(r) for r in sample],
+                              mode=mode, rng=rng)
+    fwd = sum(f.cost < r.cost for f, r in zip(fwd_alns, rev_alns))
+    rev = len(sample) - fwd
+    if fwd >= (fwd + rev) * STRAND_CONFIDENCE:
+        return 1
+    if rev >= (fwd + rev) * STRAND_CONFIDENCE:
+        return 2
+    raise RuntimeError("Failed to determine read strandness; try larger "
+                       "-t or set -s manually")
+
+
+def check_chimera(tree, aln, seq, seeds, args):
+    """Segment-placement chimera check (reference hmmufotu.cpp:653-691).
+
+    Returns (is_chimera, lod, best5, best3)."""
+    num_seg = args.num_segment
+    seg_len = (aln.cs_end - aln.cs_start + 1) // num_seg
+    seg5, seg3 = [], []
+    for n in range(num_seg):
+        s0 = aln.cs_start + n * seg_len        # 1-based
+        e0 = s0 + seg_len - 1
+        seg_seeds = [
+            type(s)(s0 - 1, e0 - 1, s.id,
+                    p_dist(seq, tree.seqs[s.id], s0 - 1, e0 - 1))
+            for s in seeds]
+        places = pl.estimate_seq(tree, seq, seg_seeds, args.method)
+        places = pl.filter_placements(places, args.chimera_err)
+        places = pl.place_seq(tree, seq, places, args.max_height)
+        (seg5 if n < num_seg // 2 else seg3).extend(places)
+    seg5.sort(key=lambda p: -p.loglik)
+    seg3.sort(key=lambda p: -p.loglik)
+    b5, b3 = seg5[0], seg3[0]
+
+    def alt(best, other):
+        loc = type(seeds[0])(best.start, best.end, other.c_node,
+                             p_dist(seq, tree.seqs[best.c_node],
+                                    best.start, best.end))
+        p = tree.estimate_seq(seq, loc, args.method)
+        tree.place_seq(seq, p, args.max_height)
+        return p
+
+    alt5 = alt(b5, b3)
+    alt3 = alt(b3, b5)
+    lod = b5.loglik - alt5.loglik + b3.loglik - alt3.loglik
+    is_chi = (b5.a_node != b3.a_node) and lod > args.chimera_lod
+    return is_chi, lod, b5, b3
+
+
+def main(argv=None) -> int:
+    argv = argv if argv is not None else sys.argv[1:]
+    args = build_parser().parse_args(argv)
+    setup_logging(args.verbose + 1)
+    rng = np.random.default_rng(args.seed)
+
+    db = Database.load(args.db)
+    tree, hmm, csfm = db.ptu, db.hmm, db.csfm
+    paired = bool(args.mates)
+    mode = GLOBAL if (paired or args.single) else NGCL
+    hmm.set_sequence_mode(mode)
+    hmm.wing_retract()
+    aligner = ViterbiAligner(hmm)
+    log.info("Database loaded: %d nodes, csLen %d, K %d",
+             tree.num_nodes, tree.cs_len, hmm.K)
+
+    from ..alphabet import DNA
+    fwd_reads = list(read_seqs(args.reads))
+    rev_reads = list(read_seqs(args.mates)) if paired else []
+    if paired and len(rev_reads) != len(fwd_reads):
+        log.error("Unmatched number of forward/reverse reads")
+        return 1
+
+    strand = args.strand
+    if strand == 0:
+        strand = detect_strand(aligner, csfm,
+                               [r.seq for r in fwd_reads], mode,
+                               max(args.test, MIN_STRAND_TEST), rng)
+        log.info("Read strand determined as %d", strand)
+    if strand == 2:
+        if paired:
+            fwd_reads, rev_reads = rev_reads, fwd_reads
+        else:
+            for r in fwd_reads:
+                r.seq = DNA.revcom(r.seq)
+
+    out = sys.stdout if args.out == "-" else open(args.out, "w")
+    out.write(prog_header([PROG_NAME] + list(argv)))
+    chim_cols = ("\t" + CHIMERA_TSV_HEADER + "\t") if args.chimera \
+        else "\t"
+    out.write("id\tdescription\t" + ALN_TSV_HEADER + chim_cols
+              + PLACEMENT_TSV_HEADER + "\n")
+    chi_out = open(args.chimera_out, "w") if args.chimera_out else None
+    if chi_out:
+        chi_out.write(prog_header([PROG_NAME] + list(argv)))
+        chi_out.write("id\tdescription\t" + ALN_TSV_HEADER + chim_cols
+                      + PLACEMENT_TSV_HEADER + "\n")
+    aln_out = SeqWriter(open(args.align_out, "w")) if args.align_out \
+        else None
+
+    n_assigned = 0
+    for lo in range(0, len(fwd_reads), args.batch):
+        batch = fwd_reads[lo:lo + args.batch]
+        alns = pl.align_reads(aligner, csfm, [r.seq for r in batch],
+                              args.seed_len, args.seed_region, mode, rng)
+        rev_alns = [None] * len(batch)
+        if paired:
+            mates = [DNA.revcom(r.seq)
+                     for r in rev_reads[lo:lo + args.batch]]
+            rev_alns = pl.align_reads(aligner, csfm, mates,
+                                      args.seed_len, args.seed_region,
+                                      mode, rng)
+        for read, aln, rev_aln in zip(batch, alns, rev_alns):
+            is_chimera = False
+            if paired and rev_aln is not None:
+                if not args.ignore_orient and not (
+                        aln.cs_start <= rev_aln.cs_start
+                        and aln.cs_end <= rev_aln.cs_end):
+                    log.warning("Bad orientation of fwd/rev read %s, "
+                                "treating as chimera", read.id)
+                    is_chimera = True
+                else:
+                    aln.merge(rev_aln)
+            seq = pl.aln_to_digital(tree, aln)
+            seeds = []
+            if (args.chimera and not is_chimera) or not args.align_only:
+                seeds = pl.get_seed(tree, seq, aln.cs_start - 1,
+                                    aln.cs_end - 1, args.max_diff,
+                                    args.max_height, args.max_nseed)
+            lod = math.nan
+            b5 = b3 = None
+            if args.chimera and not is_chimera and seeds:
+                is_chimera, lod, b5, b3 = check_chimera(
+                    tree, aln, seq, seeds, args)
+            chim_str = ""
+            if args.chimera:
+                if b5 is not None:
+                    chim_str = (f"\t{b5.a_node}\t{b3.a_node}\t"
+                                f"{tree.anno[b5.a_node]}\t"
+                                f"{tree.anno[b3.a_node]}\t{lod:g}")
+                else:
+                    chim_str = "\tnan\tnan\tnan\tnan\tnan"
+
+            if is_chimera:
+                if chi_out:
+                    chi_out.write(f"{read.id}\t{read.desc}\t"
+                                  + aln_tsv(aln) + chim_str + "\t"
+                                  + place_tsv(tree, None) + "\n")
+                continue
+            if aln_out:
+                from ..seq import PrimarySeq
+                desc = (read.desc + f";csStart={aln.cs_start}"
+                        f";csEnd={aln.cs_end};")
+                aln_out.write(PrimarySeq(read.id, aln.align, desc))
+            best = None
+            if not args.align_only and seeds:
+                places = pl.estimate_seq(tree, seq, seeds, args.method)
+                places = pl.filter_placements(places, args.err)
+                places = pl.place_seq(tree, seq, places,
+                                      args.max_height)
+                if args.ml_only:
+                    places.sort(key=lambda p: -p.loglik)
+                else:
+                    pl.calc_q_values(tree, places, args.prior)
+                    places.sort(key=lambda p: -p.q_place)
+                best = places[0]
+                n_assigned += 1
+            out.write(f"{read.id}\t{read.desc}\t" + aln_tsv(aln)
+                      + chim_str + "\t" + place_tsv(tree, best) + "\n")
+        log.info("Processed %d reads", min(lo + args.batch,
+                                           len(fwd_reads)))
+
+    if out is not sys.stdout:
+        out.close()
+    if chi_out:
+        chi_out.close()
+    if aln_out:
+        aln_out.close()
+    log.info("Assigned %d of %d reads", n_assigned, len(fwd_reads))
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
