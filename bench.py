@@ -1,0 +1,118 @@
+"""End-of-round benchmark: taxonomy-assignment throughput (reads/s).
+
+Measures the full hot path — banded device Viterbi alignment + SEP
+placement + Q values — on the bundled 70_otus fixture DB with
+simulated 250 bp reads, on whatever accelerator jax selects (the real
+TPU chip under the driver).
+
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+
+vs_baseline is computed against an ESTIMATED reference throughput of
+1000 reads/s for 16-thread CPU hmmufotu on a DB of this size (the
+reference repo publishes no numbers — see BASELINE.md; the estimate is
+~60 us/read/thread for banded DP + placement at 70_otus scale).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+CACHE = os.path.join(REPO, ".bench")
+FIXTURES = os.path.join(REPO, "tests", "fixtures")
+DB_PREFIX = os.path.join(CACHE, "70_otus")
+N_READS = 192
+BATCH = 64
+BASELINE_READS_PER_S = 1000.0
+
+
+def ensure_db():
+    from hmmufotu_tpu.cli.build import main as build_main
+    if os.path.exists(DB_PREFIX + ".ptu.npz"):
+        return
+    os.makedirs(CACHE, exist_ok=True)
+    rc = build_main([
+        os.path.join(FIXTURES, "70_otus.fasta"),
+        os.path.join(FIXTURES, "70_otus.tree"),
+        "-a", os.path.join(FIXTURES, "70_otus_taxonomy.txt"),
+        "-n", DB_PREFIX, "-s", "GTR",
+    ])
+    assert rc == 0
+
+
+def simulate_reads(tree, rng, n):
+    """Quick in-memory read sim (mutated leaf windows, 250 bp)."""
+    leaves = [u for u in range(tree.num_nodes)
+              if tree.is_leaf(u) and tree.msa_id[u] >= 0]
+    reads = []
+    while len(reads) < n:
+        u = int(rng.choice(leaves))
+        codes = tree.seqs[u]
+        pos = np.nonzero(codes >= 0)[0]
+        if len(pos) < 260:
+            continue
+        st = int(rng.integers(0, len(pos) - 255))
+        piece = codes[pos[st:st + 250]].copy()
+        mut = rng.random(len(piece)) < 0.02
+        piece[mut] = rng.integers(0, 4, int(mut.sum()))
+        reads.append("".join("ACGT"[c] for c in piece))
+    return reads
+
+
+def main():
+    t_setup = time.time()
+    ensure_db()
+    from hmmufotu_tpu.db import Database
+    from hmmufotu_tpu.hmm import NGCL, ViterbiAligner
+    from hmmufotu_tpu import pipeline as pl
+
+    db = Database.load(DB_PREFIX)
+    tree, hmm, csfm = db.ptu, db.hmm, db.csfm
+    hmm.set_sequence_mode(NGCL)
+    hmm.wing_retract()
+    aligner = ViterbiAligner(hmm)
+    rng = np.random.default_rng(0)
+    reads = simulate_reads(tree, rng, N_READS)
+
+    def assign_batch(batch):
+        alns = pl.align_reads(aligner, csfm, batch, rng=rng)
+        n_ok = 0
+        for aln in alns:
+            if not aln.is_valid():
+                continue
+            seq = pl.aln_to_digital(tree, aln)
+            locs = pl.get_seed(tree, seq, aln.cs_start - 1,
+                               aln.cs_end - 1)
+            places = pl.estimate_seq(tree, seq, locs)
+            places = pl.filter_placements(places)
+            places = pl.place_seq(tree, seq, places)
+            pl.calc_q_values(tree, places)
+            n_ok += 1
+        return n_ok
+
+    # warmup (jit compile)
+    assign_batch(reads[:2])
+
+    t0 = time.time()
+    n_done = 0
+    for lo in range(0, len(reads), BATCH):
+        n_done += assign_batch(reads[lo:lo + BATCH])
+    dt = time.time() - t0
+    rps = n_done / dt
+
+    print(json.dumps({
+        "metric": "assign_throughput",
+        "value": round(rps, 2),
+        "unit": "reads/s",
+        "vs_baseline": round(rps / BASELINE_READS_PER_S, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

@@ -243,12 +243,16 @@ def viterbi_scan(dh: DeviceHMM, codes: jax.Array, lengths: jax.Array,
             jnp.uint8)
         return (Mn, In, Dn, best, best_i, best_j), choices
 
-    init = (jnp.full((B, K + 1), INF, dtype),
-            jnp.full((B, K + 1), INF, dtype),
-            jnp.full((B, K + 1), INF, dtype),
-            jnp.full((B,), INF, dtype),
-            jnp.zeros((B,), jnp.int32),
-            jnp.full((B,), jnp.iinfo(jnp.int32).max, jnp.int32))
+    # derive the init carry from the inputs so its device-varying type
+    # matches under shard_map (scan carries must keep a consistent vma)
+    zb = (codes[:, 0] * 0).astype(dtype)          # [B] varying zeros
+    zbi = (codes[:, 0] * 0).astype(jnp.int32)
+    init = (INF + zb[:, None] + jnp.zeros((1, K + 1), dtype),
+            INF + zb[:, None] + jnp.zeros((1, K + 1), dtype),
+            INF + zb[:, None] + jnp.zeros((1, K + 1), dtype),
+            INF + zb,
+            zbi,
+            jnp.iinfo(jnp.int32).max + zbi)
     (_, _, _, best, best_i, best_j), choices = jax.lax.scan(
         step, init, jnp.arange(1, n_rows + 1, dtype=jnp.int32))
     return best, best_i, best_j, choices

@@ -1,0 +1,13 @@
+"""Multi-chip data parallelism (mesh, sharded assignment step).
+
+The reference has no distributed computing — parallelism is OpenMP
+threads in one process (reference src/hmmufotu.cpp:603-610).  The
+TPU-native scale-out replicates the DB per chip, shards read batches
+over the data axis of a `jax.sharding.Mesh`, and merges OTU-table
+accumulators with psum collectives.
+"""
+
+from .sharding import (make_mesh, sharded_assign_step,
+                       sharded_otu_accumulate)
+
+__all__ = ["make_mesh", "sharded_assign_step", "sharded_otu_accumulate"]

@@ -1,0 +1,92 @@
+"""Device-mesh sharding of the assignment pipeline.
+
+Design (SURVEY.md §2 parallelism table; BASELINE.json north star):
+
+  * the DB arrays (HMM cost vectors, node sequences, per-edge message
+    tensors) are REPLICATED across chips;
+  * the read batch is SHARDED along the leading (read) axis of a 1-D
+    "data" mesh — the analog of the reference's task-per-read OpenMP
+    loop (reference src/hmmufotu.cpp:603-610), but SPMD;
+  * per-taxon OTU counts are accumulated per shard and merged with a
+    `psum` over the data axis — the analog of hmmufotu-sum's
+    sequential accumulation (reference src/hmmufotu-sum.cpp:347-400).
+
+All collectives ride the mesh; no host gathers are required until
+final TSV writing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..hmm.viterbi import DeviceHMM, viterbi_scan
+
+DATA_AXIS = "data"
+
+
+def make_mesh(n_devices: int | None = None) -> Mesh:
+    devs = jax.devices()
+    if n_devices is not None:
+        devs = devs[:n_devices]
+    return Mesh(np.array(devs), (DATA_AXIS,))
+
+
+def sharded_assign_step(mesh: Mesh, dh: DeviceHMM, node_seqs: jax.Array,
+                        anno_of_node: jax.Array, n_taxa: int,
+                        codes: jax.Array, lengths: jax.Array,
+                        regions: jax.Array, n_rows: int):
+    """One data-parallel assignment step over the mesh.
+
+    Per shard: banded Viterbi over the local reads, then a seed-style
+    p-dist argmin over ALL tree nodes (the masked mismatch count of
+    getSeed, reference HmmUFOtu_main.cpp:127-152) as the device-side
+    taxonomy vote, and a psum-merged per-taxon count vector.
+
+    Returns (scores [B], best_node [B], taxon_counts [n_taxa]) with
+    scores/best_node sharded over reads and taxon_counts replicated.
+    """
+
+    def step(codes_l, lengths_l, regions_l):
+        scores, mi, mj, _ = viterbi_scan(dh, codes_l, lengths_l,
+                                         regions_l, n_rows)
+        # device-side p-dist vote against every node's profile-aligned
+        # sequence: a [B, K] x [N, K] masked mismatch reduction
+        read_valid = (jnp.arange(codes_l.shape[1])[None, :]
+                      < lengths_l[:, None])
+        q = jnp.where(read_valid, codes_l, -1)
+        both = (q[:, None, :] >= 0) & (node_seqs[None, :, :] >= 0)
+        mis = ((q[:, None, :] != node_seqs[None, :, :]) & both).sum(-1)
+        inf_sites = both.sum(-1)
+        dist = mis / jnp.maximum(inf_sites, 1)
+        best_node = jnp.argmin(
+            jnp.where(inf_sites > 0, dist, jnp.inf), axis=1)
+        taxa = anno_of_node[best_node]
+        counts = jnp.zeros((n_taxa,), jnp.int32).at[taxa].add(1)
+        counts = jax.lax.psum(counts, DATA_AXIS)
+        return scores, best_node, counts
+
+    shard = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=(P(DATA_AXIS), P(DATA_AXIS), P()),
+    )
+    return shard(codes, lengths, regions)
+
+
+def sharded_otu_accumulate(mesh: Mesh, taxon_ids: jax.Array,
+                           n_taxa: int) -> jax.Array:
+    """psum-merged OTU count vector from sharded per-read taxon ids
+    (the collective form of OTU-table merging, reference
+    hmmufotu-sum.cpp:388-397 / OTUTable operator+=)."""
+
+    def acc(ids_l):
+        counts = jnp.zeros((n_taxa,), jnp.int32).at[ids_l].add(1)
+        return jax.lax.psum(counts, DATA_AXIS)
+
+    return jax.shard_map(acc, mesh=mesh, in_specs=P(DATA_AXIS),
+                         out_specs=P())(taxon_ids)

@@ -600,7 +600,10 @@ class PTUnrooted:
 
         place.loglik = loglik
         place.wnr = wnr
-        place.ratio = wur / w0
+        # w0 == 0 yields ratio nan, matching the reference (placeSeq
+        # divides by the original branch length unguarded, cpp:946)
+        with np.errstate(invalid="ignore"):
+            place.ratio = np.float64(wur) / np.float64(w0)
         place.height = float(self.heights[u]) + wur
         if place.ratio <= 0.5 or self.heights[v] > max_height:
             place.a_node = u
