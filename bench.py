@@ -72,29 +72,21 @@ def main():
     from hmmufotu_tpu.hmm import NGCL, ViterbiAligner
     from hmmufotu_tpu import pipeline as pl
 
+    from hmmufotu_tpu.phylo.placement import DevicePlacer
+
     db = Database.load(DB_PREFIX)
     tree, hmm, csfm = db.ptu, db.hmm, db.csfm
     hmm.set_sequence_mode(NGCL)
     hmm.wing_retract()
     aligner = ViterbiAligner(hmm)
+    placer = DevicePlacer(tree, window=512)
     rng = np.random.default_rng(0)
     reads = simulate_reads(tree, rng, N_READS)
 
     def assign_batch(batch):
         alns = pl.align_reads(aligner, csfm, batch, rng=rng)
-        n_ok = 0
-        for aln in alns:
-            if not aln.is_valid():
-                continue
-            seq = pl.aln_to_digital(tree, aln)
-            locs = pl.get_seed(tree, seq, aln.cs_start - 1,
-                               aln.cs_end - 1)
-            places = pl.estimate_seq(tree, seq, locs)
-            places = pl.filter_placements(places)
-            places = pl.place_seq(tree, seq, places)
-            pl.calc_q_values(tree, places)
-            n_ok += 1
-        return n_ok
+        best = pl.assign_batch_device(tree, placer, alns)
+        return sum(b is not None for b in best)
 
     # warmup (jit compile)
     assign_batch(reads[:2])

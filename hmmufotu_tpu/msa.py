@@ -193,6 +193,18 @@ class MSA:
         (reference getMSANonGapLen, used for the CSFM concat length)."""
         return int((self.abc.encode(self.chars) != GAP_BASE).sum())
 
+    def scale_weight(self, r: float):
+        """Scale all sequence weights (and derived weighted counts) by
+        r (reference MSA::sclaleWeight, MSA.h:517)."""
+        self.seq_weight = self.seq_weight * r
+        self.res_wcount = self.res_wcount * r
+        self.gap_wcount = self.gap_wcount * r
+
+    def sym_wfreq(self, j: int | None = None) -> np.ndarray:
+        """Weighted per-column residue frequency vector(s)
+        (reference symWFreq used by hmmufotu-train-dm.cpp:267)."""
+        return self.res_wcount if j is None else self.res_wcount[:, j]
+
     # --- prune (reference MSA.cpp:87-138) ---------------------------------
     def prune(self) -> "MSA":
         if self.is_pruned:

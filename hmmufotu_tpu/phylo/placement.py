@@ -1,0 +1,351 @@
+"""Batched SEP placement on device (JAX/XLA).
+
+TPU-native redesign of the reference per-read placement loop
+(reference: src/HmmUFOtu_main.cpp:127-216 seed/estimate/filter/place,
+src/PhyloTreeUnrooted.cpp:749-954 the 2-node-subtree joint 3-branch
+Felsenstein optimization).  The reference walks candidates one read at
+a time on a CPU thread; here the WHOLE batch x candidate grid runs as
+one jitted computation:
+
+  seed     : masked-mismatch p-dist of every read against every node
+             sequence — one [B,W] x [N,W] reduction on the MXU path —
+             then top-C selection (getSeed, HmmUFOtu_main.cpp:127-152)
+  estimate : closed-form placement at all B x C candidate branches at
+             once (estimateSeq, PhyloTreeUnrooted.cpp:849-877)
+  filter   : loglik mask vs the per-read best (filterPlacements)
+  place    : joint 3-branch fixed-point optimization, batched with
+             lax.while_loop and per-lane convergence masks
+             (optimizeBranchLength, PhyloTreeUnrooted.cpp:749-847)
+
+Site windows are fixed-width dynamic slices (static shape W) with
+validity masks, so XLA sees static shapes everywhere.
+"""
+
+from __future__ import annotations
+
+import math
+from functools import partial
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .tree import BRANCH_EPS, MAX_ITER, PTUnrooted
+
+INF = jnp.inf
+
+
+class DeviceTree(NamedTuple):
+    """Tree/DB arrays staged on device (a jax pytree)."""
+    msg_up: jax.Array     # [N, 4, L] f32
+    msg_down: jax.Array   # [N, 4, L]
+    seqs: jax.Array       # [N, L] int8
+    brlen: jax.Array      # [N]
+    heights: jax.Array    # [N]
+    parent: jax.Array     # [N] int32
+    pi: jax.Array         # [4]
+    log_pi: jax.Array     # [4]
+    rates: jax.Array      # [K] discrete-Gamma rates (or [1.0])
+
+    @classmethod
+    def from_tree(cls, tree: PTUnrooted, dtype=jnp.float32
+                  ) -> "DeviceTree":
+        f = lambda a: jnp.asarray(a, dtype=dtype)
+        rates = np.ones(1) if tree.dg is None \
+            else np.asarray(tree.dg.rates)
+        return cls(
+            msg_up=f(tree.msg_up), msg_down=f(tree.msg_down),
+            seqs=jnp.asarray(tree.seqs, jnp.int8),
+            brlen=f(tree.brlen), heights=f(tree.heights),
+            parent=jnp.asarray(tree.parent, jnp.int32),
+            pi=f(tree.model.pi), log_pi=f(np.log(tree.model.pi)),
+            rates=f(rates),
+        )
+
+
+def _dot_scaled(P: jax.Array, V: jax.Array) -> jax.Array:
+    """log(P @ exp(V)) columnwise with underflow scaling.
+
+    P [..., 4, 4], V [..., 4, W] -> [..., 4, W]
+    (reference dot_product_scaled, PhyloTreeUnrooted.h:1496-1504)."""
+    m = V.max(axis=-2, keepdims=True)
+    scale = jnp.where(jnp.isfinite(m), m, 0.0)
+    e = jnp.exp(V - scale)
+    out = jnp.einsum("...ij,...jw->...iw", P, e,
+                     precision=jax.lax.Precision.HIGHEST)
+    return jnp.log(out) + scale
+
+
+def _dot_scaled_vec(log_p: jax.Array, V: jax.Array) -> jax.Array:
+    """log(pi . exp(V)) per column; V [..., 4, W] -> [..., W]."""
+    m = V.max(axis=-2, keepdims=True)
+    scale = jnp.where(jnp.isfinite(m), m, 0.0)
+    s = jnp.exp(log_p[..., :, None] + V - scale).sum(axis=-2)
+    return jnp.log(s) + scale[..., 0, :]
+
+
+def _conv_mix(Pr_fn, rates: jax.Array, msgs):
+    """Rate-mixed convolution sum (reference loglik + row_mean_exp,
+    PhyloTreeUnrooted.cpp:326-345).
+
+    msgs: list of (msg [..., 4, W], branch_length [...]).
+    Returns the averaged summed message [..., 4, W].
+    """
+    outs = []
+    for r in rates:
+        s = None
+        for msg, bl in msgs:
+            conv = _dot_scaled(Pr_fn(bl * r), msg)
+            s = conv if s is None else s + conv
+        outs.append(s)
+    if len(outs) == 1:
+        return outs[0]
+    X = jnp.stack(outs, axis=-1)               # [..., 4, W, K]
+    m = X.max(axis=-1, keepdims=True)
+    scale = jnp.where(jnp.isfinite(m), m, 0.0)
+    return jnp.log(jnp.exp(X - scale).mean(axis=-1)) + scale[..., 0]
+
+
+def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len):
+    """Batched Felsenstein single-branch fixed point
+    (reference optimizeBranchLength(u,v), PhyloTreeUnrooted.cpp:749-798).
+
+    U, V: [..., 4, W]; w0, max_len: [...]; site_mask: [..., W].
+    Returns optimized branch length [...].
+    """
+    logA = _dot_scaled_vec(log_pi, U + V)              # [..., W]
+    logB = _dot_scaled_vec(log_pi, U) + _dot_scaled_vec(log_pi, V)
+    ok = site_mask & ~(jnp.isnan(logA) | jnp.isnan(logB))
+    scale = jnp.maximum(logA, logB)
+    eA = jnp.where(ok, jnp.exp(logA - scale), 0.0)
+    eB = jnp.where(ok, jnp.exp(logB - scale), 0.0)
+    n = jnp.maximum(ok.sum(axis=-1), 1)
+
+    p_init = 1.0 - jnp.exp(-w0)
+
+    def cond(state):
+        p0, it, done = state
+        return (~done).any() & (it < MAX_ITER)
+
+    def body(state):
+        p0, it, done = state
+        num = eB * p0[..., None]
+        den = eA * (1 - p0[..., None]) + num
+        frac = jnp.where(den > 0, num / den, 0.0)
+        p = frac.sum(axis=-1) / n
+        bad = ~((p >= 0) & (p <= 1))
+        conv = jnp.abs(jnp.log1p(-p) - jnp.log1p(-p0)) < BRANCH_EPS
+        new_done = done | conv | bad
+        p_next = jnp.where(done | bad, p0, p)
+        return p_next, it + 1, new_done
+
+    p_fin, _, _ = jax.lax.while_loop(
+        cond, body, (p_init, jnp.int32(0),
+                     jnp.zeros(p_init.shape, bool)))
+    w = -jnp.log1p(-p_fin)
+    return jnp.minimum(w, max_len)
+
+
+@partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates"))
+def place_batch_device(dt: DeviceTree, seqs: jax.Array,
+                       starts: jax.Array, ends: jax.Array,
+                       Pr_fn, max_diff: float, max_height: float,
+                       max_error: float, W: int, C: int, n_rates: int):
+    """Full SEP placement of a read batch.
+
+    seqs: [B, L] int8 aligned digital reads
+    starts/ends: [B] int32 0-based inclusive CS windows
+    Pr_fn: static traced P(t) callable (see make_pr_fn)
+    Returns dict of [B, C] candidate arrays + [B, N] seed dists.
+    """
+    B, L = seqs.shape
+    N = dt.seqs.shape[0]
+    rates = dt.rates[:n_rates]
+
+    # ---- seed: p-dist of every read against every node -------------------
+    site_idx = jnp.arange(L)
+    win = (site_idx[None, :] >= starts[:, None]) \
+        & (site_idx[None, :] <= ends[:, None])          # [B, L]
+    q_valid = (seqs >= 0) & win
+    n_valid = dt.seqs[None, :, :] >= 0                  # [1, N, L]
+    # mismatch counting via one-hot matmuls keeps the [B,L]x[N,L]
+    # reduction on the MXU instead of a [B,N,L] broadcast
+    q1h = jax.nn.one_hot(jnp.where(q_valid, seqs, 4), 5,
+                         dtype=dt.msg_up.dtype)[:, :, :4]   # [B, L, 4]
+    n1h = jax.nn.one_hot(jnp.where(n_valid[0], dt.seqs, 4), 5,
+                         dtype=dt.msg_up.dtype)[:, :, :4]   # [N, L, 4]
+    match = jnp.einsum("blk,nlk->bn", q1h, n1h,
+                       precision=jax.lax.Precision.HIGHEST)
+    both = jnp.einsum("bl,nl->bn", q1h.sum(-1), n1h.sum(-1),
+                      precision=jax.lax.Precision.HIGHEST)
+    dist = jnp.where(both > 0, (both - match) / jnp.maximum(both, 1),
+                     jnp.nan)                           # [B, N]
+
+    eligible = (dt.parent >= 0) & (dt.heights <= max_height)
+    dist_sort = jnp.where(eligible[None, :] & ~jnp.isnan(dist), dist,
+                          INF)
+    neg_top, cand = jax.lax.top_k(-dist_sort, C)        # [B, C]
+    c_dist = -neg_top
+    best_dist = c_dist[:, :1]
+    cand_ok = jnp.isfinite(c_dist) \
+        & (c_dist - best_dist <= max_diff)              # [B, C]
+
+    # ---- gather candidate windows ---------------------------------------
+    def slice_msg(arr, node, start):
+        # arr [N, 4, L] -> [4, W] window at start for one candidate
+        return jax.lax.dynamic_slice(arr[node], (0, start), (4, W))
+
+    starts_c = jnp.minimum(starts, L - W)               # [B]
+    gather = jax.vmap(jax.vmap(slice_msg, in_axes=(None, 0, None)),
+                      in_axes=(None, 0, 0))
+    U = gather(dt.msg_up, cand, starts_c)               # [B, C, 4, W]
+    V = gather(dt.msg_down, cand, starts_c)
+
+    # leaf message of the read in the same window
+    def slice_seq(s, start):
+        return jax.lax.dynamic_slice(s, (start,), (W,))
+
+    rwin = jax.vmap(slice_seq)(seqs, starts_c)          # [B, W]
+    obs = rwin >= 0
+    base1h = jax.nn.one_hot(jnp.clip(rwin, 0, 3), 4,
+                            dtype=dt.msg_up.dtype)      # [B, W, 4]
+    leaf = jnp.where(obs[:, None, :],
+                     jnp.where(base1h.transpose(0, 2, 1) > 0, 0.0, -INF),
+                     dt.log_pi[None, :, None])          # [B, 4, W]
+    Nl = leaf[:, None, :, :]                            # [B, 1, 4, W]
+    Nl = jnp.broadcast_to(Nl, U.shape)
+
+    site_ok = (jnp.arange(W)[None, :] + starts_c[:, None]
+               <= ends[:, None]) \
+        & (jnp.arange(W)[None, :] + starts_c[:, None]
+           >= starts[:, None])                          # [B, W]
+    site_ok_c = site_ok[:, None, :]                     # [B, 1, W]
+    site_ok_c = jnp.broadcast_to(site_ok_c, (B, C, W))
+
+    # ---- estimate (closed form, no rate mixing — estimateSeq uses the
+    # plain model, PhyloTreeUnrooted.cpp:861-871) -------------------------
+    w0 = dt.brlen[cand]                                 # [B, C]
+    p_dist_parent = jnp.take_along_axis(dist, dt.parent[cand], axis=1)
+    ratio0 = c_dist / (c_dist + p_dist_parent)
+    ratio0 = jnp.where(jnp.isnan(ratio0), 0.5, ratio0)
+    wur0 = w0 * ratio0
+    wvr0 = w0 - wur0
+    UPr = _dot_scaled(Pr_fn(wur0), U)
+    VPr = _dot_scaled(Pr_fn(wvr0), V)
+    R0 = UPr + VPr
+    # unweighted initial pendant estimate (cpp:1018-1031)
+    b1 = R0.argmax(axis=-2)
+    b2 = Nl.argmax(axis=-2)
+    wnr0 = jnp.where(site_ok_c, (b1 != b2), 0).sum(-1) \
+        / jnp.maximum(site_ok_c.sum(-1), 1)
+    NPr = _dot_scaled(Pr_fn(wnr0), Nl)
+    est_cols = _dot_scaled_vec(dt.log_pi, R0 + NPr)     # [B, C, W]
+    est_loglik = jnp.where(site_ok_c, est_cols, 0.0).sum(-1)
+    est_loglik = jnp.where(cand_ok, est_loglik, -INF)
+
+    # ---- filter (filterPlacements, HmmUFOtu_main.cpp:162-173) -----------
+    best_est = est_loglik.max(axis=1, keepdims=True)
+    live = cand_ok & (best_est - est_loglik <= max_error)
+
+    # ---- accurate joint 3-branch optimization ---------------------------
+    def outer_cond(state):
+        wur, wvr, wnr, wur_p, wnr_p, it, done = state
+        return (~done).any() & (it < MAX_ITER)
+
+    def outer_body(state):
+        wur, wvr, wnr, wur_p, wnr_p, it, done = state
+        Rn = _conv_mix(Pr_fn, rates, [(U, wur), (V, wvr)])
+        wnr_n = _fixed_point_branch(dt.log_pi, Rn, Nl, wnr, site_ok_c,
+                                    jnp.ones_like(wnr))
+        Ru = _conv_mix(Pr_fn, rates, [(V, wvr), (Nl, wnr_n)])
+        wur_n = _fixed_point_branch(dt.log_pi, Ru, U, wur, site_ok_c,
+                                    w0)
+        wvr_n = w0 - wur_n
+        conv = (jnp.abs(wur_n - wur) < BRANCH_EPS) \
+            & (jnp.abs(wnr_n - wnr) < BRANCH_EPS)
+        bad = ~((wur_n >= 0) & (wur_n <= w0))
+        new_done = done | conv | bad
+        keep = done
+        return (jnp.where(keep, wur, wur_n),
+                jnp.where(keep, wvr, wvr_n),
+                jnp.where(keep, wnr, wnr_n),
+                wur, wnr, it + 1, new_done)
+
+    init = (wur0, wvr0, wnr0, wur0, wnr0, jnp.int32(0),
+            ~live)
+    wur_f, wvr_f, wnr_f, _, _, _, _ = jax.lax.while_loop(
+        outer_cond, outer_body, init)
+
+    root_msg = _conv_mix(Pr_fn, rates,
+                         [(U, wur_f), (V, wvr_f), (Nl, wnr_f)])
+    cols = _dot_scaled_vec(dt.log_pi, root_msg)
+    loglik = jnp.where(site_ok_c, cols, 0.0).sum(-1)
+    loglik = jnp.where(live, loglik, -INF)
+
+    return {
+        "cand": cand, "c_dist": c_dist, "live": live,
+        "w0": w0, "ratio": wur_f / w0, "wnr": wnr_f,
+        "loglik": loglik, "est_loglik": est_loglik,
+        "height": dt.heights[cand] + wur_f,
+        "parent": dt.parent[cand],
+    }
+
+
+def make_pr_fn(tensors, kind: str, dtype):
+    """Return a traced P(t) function from staged model tensors.
+
+    kind 'eig': tensors = (U, U_1, lam) eigendecomposition (GTR,
+    reference GTR.h:116-121); kind 'closed': tensors = the model
+    object whose Pr_batch is jnp-traceable (JC69..TN93).
+    """
+    if kind == "eig":
+        Um, U_1, lam = tensors
+
+        def Pr(v):
+            v = jnp.asarray(v, dtype)
+            e = jnp.exp(lam * v[..., None])
+            prod = Um[..., :, :] * e[..., None, :]
+            out = jnp.einsum("...ij,...jk->...ik", prod, U_1,
+                             precision=jax.lax.Precision.HIGHEST)
+            return jnp.maximum(out, 0.0)
+
+        return Pr
+    model = tensors
+
+    def Pr(v):
+        return model.Pr_batch(jnp.asarray(v, dtype))
+
+    return Pr
+
+
+class DevicePlacer:
+    """High-level batched placement wrapper around a PTUnrooted."""
+
+    def __init__(self, tree: PTUnrooted, window: int = 512,
+                 max_nseed: int = 50, dtype=jnp.float32):
+        self.tree = tree
+        self.W = min(window, tree.cs_len)
+        self.C = max_nseed
+        self.dt = DeviceTree.from_tree(tree, dtype)
+        if tree.model.name == "GTR":
+            tensors = (jnp.asarray(tree.model.U, dtype),
+                       jnp.asarray(tree.model.U_1, dtype),
+                       jnp.asarray(tree.model.lam, dtype))
+            self.pr_fn = make_pr_fn(tensors, "eig", dtype)
+        else:
+            self.pr_fn = make_pr_fn(tree.model, "closed", dtype)
+        self.n_rates = 1 if tree.dg is None else len(tree.dg.rates)
+
+    def place_batch(self, seqs: np.ndarray, starts: np.ndarray,
+                    ends: np.ndarray, max_diff: float = math.inf,
+                    max_height: float = math.inf,
+                    max_error: float = 20.0) -> dict:
+        """Place aligned reads; clamps windows to the fixed width W."""
+        ends = np.minimum(ends, starts + self.W - 1)
+        out = place_batch_device(
+            self.dt, jnp.asarray(seqs, jnp.int8),
+            jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
+            self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
+            self.n_rates)
+        return {k: np.asarray(v) for k, v in out.items()}

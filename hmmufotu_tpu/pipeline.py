@@ -60,6 +60,71 @@ def find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex, read: str,
     return vpaths
 
 
+def batch_find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex,
+                           reads: list[str],
+                           seed_len: int = DEFAULT_SEED_LEN,
+                           seed_region: int = DEFAULT_SEED_REGION,
+                           mode: str = GLOBAL,
+                           rng: np.random.Generator | None = None):
+    """Lockstep seed search for a whole read batch.
+
+    All (read, window) k-mers run through ONE batched backward search
+    (csfm._backward_search); per read the first hit window is selected
+    — the same window the reference's sequential scan with early break
+    would pick (HmmUFOtu_main.cpp:52-84)."""
+    B = len(reads)
+    out: list[list[ViterbiAlignPath]] = [[] for _ in range(B)]
+
+    def run_side(five_prime: bool):
+        pats, owner, offs = [], [], []
+        for r, read in enumerate(reads):
+            n = len(read)
+            region = min(seed_region, n)
+            if five_prime:
+                rng_off = range(0, region - seed_len + 1)
+            else:
+                if out[r] and n < 2 * region:
+                    continue
+                rng_off = range(n - seed_len, n - region - 1, -1)
+            for frm in rng_off:
+                if frm < 0:
+                    continue
+                pats.append(read[frm:frm + seed_len])
+                owner.append(r)
+                offs.append(frm)
+        if not pats:
+            return
+        enc = np.stack([csfm._encode(p) for p in pats])
+        s, e = csfm._backward_search(enc)
+        hit = s <= e
+        # first hit per read (windows were emitted in scan order)
+        chosen: dict[int, int] = {}
+        for k in range(len(pats)):
+            r = owner[k]
+            if hit[k] and r not in chosen:
+                chosen[r] = k
+        if not chosen:
+            return
+        ks = sorted(chosen.values())
+        rows = s[ks].copy()
+        if rng is not None:
+            spans = e[ks] - s[ks] + 1
+            rows = s[ks] + (rng.integers(0, 2**62, size=len(ks)) % spans)
+        starts = csfm._access_sa(rows)
+        for t, k in enumerate(ks):
+            r = owner[k]
+            loc = csfm._cs_loc(int(starts[t]), pats[k])
+            vp = hmm.build_align_path(loc, offs[k] + 1,
+                                      offs[k] + seed_len)
+            if vp.is_valid():
+                out[r].append(vp)
+
+    run_side(True)
+    if mode == GLOBAL:
+        run_side(False)
+    return out
+
+
 def align_reads(aligner: ViterbiAligner, csfm: CSFMIndex,
                 reads: list[str],
                 seed_len: int = DEFAULT_SEED_LEN,
@@ -70,8 +135,8 @@ def align_reads(aligner: ViterbiAligner, csfm: CSFMIndex,
     """Banded-align a read batch (reference alignSeq per read,
     HmmUFOtu_main.cpp:39-105, with full-DP fallback built into the
     aligner)."""
-    vpaths = [find_seed_vpaths(aligner.hmm, csfm, r, seed_len,
-                               seed_region, mode, rng) for r in reads]
+    vpaths = batch_find_seed_vpaths(aligner.hmm, csfm, reads, seed_len,
+                                    seed_region, mode, rng)
     return aligner.align_batch(reads, vpaths)
 
 
@@ -252,3 +317,62 @@ def assign_read(tree: PTUnrooted, aln: HmmAlignment, seq: np.ndarray,
         return places[-1]
     places.sort(key=lambda p: p.loglik)
     return places[-1]
+
+
+def assign_batch_device(tree: PTUnrooted, placer, alns,
+                        max_diff: float = math.inf,
+                        max_height: float = math.inf,
+                        max_error: float = DEFAULT_MAX_PLACE_ERROR,
+                        prior_type: str = "uniform",
+                        ml_only: bool = False):
+    """Batched SEP placement of aligned reads through the device placer
+    (hmmufotu_tpu.phylo.placement.DevicePlacer); returns the best
+    PTPlacement per read (None for invalid alignments).
+
+    Replaces the per-read host loop of assign_read with one jitted
+    batch computation; Q values stay host-side (string taxon grouping).
+    """
+    B = len(alns)
+    L = tree.cs_len
+    seqs = np.full((B, L), -2, dtype=np.int8)
+    starts = np.zeros(B, dtype=np.int32)
+    ends = np.zeros(B, dtype=np.int32)
+    valid = np.zeros(B, dtype=bool)
+    for r, aln in enumerate(alns):
+        if not aln.is_valid():
+            continue
+        valid[r] = True
+        seqs[r] = aln_to_digital(tree, aln)
+        starts[r] = aln.cs_start - 1
+        ends[r] = aln.cs_end - 1
+    out = placer.place_batch(seqs, starts, ends, max_diff, max_height,
+                             max_error)
+
+    results: list[PTPlacement | None] = []
+    for r in range(B):
+        if not valid[r]:
+            results.append(None)
+            continue
+        live = np.nonzero(out["live"][r])[0]
+        if live.size == 0:
+            results.append(None)
+            continue
+        places = []
+        for c in live:
+            u = int(out["cand"][r, c])
+            v = int(out["parent"][r, c])
+            ratio = float(out["ratio"][r, c])
+            h_v = float(tree.heights[v])
+            a = u if (ratio <= 0.5 or h_v > max_height) else v
+            places.append(PTPlacement(
+                int(starts[r]), int(ends[r]), u, v, a,
+                float(out["w0"][r, c]), ratio,
+                float(out["wnr"][r, c]), float(out["loglik"][r, c]),
+                float(out["height"][r, c])))
+        if ml_only:
+            places.sort(key=lambda p: -p.loglik)
+        else:
+            calc_q_values(tree, places, prior_type)
+            places.sort(key=lambda p: -p.q_place)
+        results.append(places[0])
+    return results
