@@ -25,6 +25,12 @@ import numpy as np
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 CACHE = os.path.join(REPO, ".bench")
+# persistent XLA compile cache: the axon-tunnel compile of the DP scan
+# and the placement while-loops takes minutes; cache makes reruns start
+# in seconds (must be set before jax initializes)
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                      os.path.join(CACHE, "jaxcache"))
+os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 DB_PREFIX = os.path.join(CACHE, "70_otus")
 N_READS = 192

@@ -562,7 +562,10 @@ class PTUnrooted:
         v = int(self.parent[u])
         c_dist = loc.dist
         pd = p_dist(self.seqs[v], seq, loc.start, loc.end)
-        ratio = c_dist / (c_dist + pd)
+        # 0/0 -> nan -> 0.5 (the reference relies on IEEE semantics,
+        # PhyloTreeUnrooted.cpp:855-858)
+        with np.errstate(invalid="ignore"):
+            ratio = float(np.float64(c_dist) / np.float64(c_dist + pd))
         if np.isnan(ratio):
             ratio = 0.5
         w0 = float(self.brlen[u])

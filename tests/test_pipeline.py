@@ -1,0 +1,214 @@
+"""End-to-end pipeline + OTU + CLI tests.
+
+Mirrors the reference's shell-pipeline smoke tests
+(reference test/sim-run-SE-t.sh / sim-run-PE-t.sh: sim -> assign ->
+sum -> subset/norm/merge closed loop) plus device-vs-host placement
+agreement, with the simulator as the accuracy oracle (SURVEY.md §4).
+"""
+
+import json
+import os
+import re
+import subprocess
+import sys
+
+import numpy as np
+import pytest
+
+from hmmufotu_tpu.otu import OTUTable
+
+FIXTURES = os.path.join(os.path.dirname(__file__), "fixtures")
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+@pytest.fixture(scope="module")
+def db_prefix(tmp_path_factory):
+    """Build the 70_otus DB once for the module."""
+    d = tmp_path_factory.mktemp("db")
+    prefix = str(d / "70_otus")
+    from hmmufotu_tpu.cli.build import main as build_main
+    rc = build_main([
+        os.path.join(FIXTURES, "70_otus.fasta"),
+        os.path.join(FIXTURES, "70_otus.tree"),
+        "-a", os.path.join(FIXTURES, "70_otus_taxonomy.txt"),
+        "-n", prefix, "-s", "GTR",
+    ])
+    assert rc == 0
+    return prefix
+
+
+@pytest.fixture(scope="module")
+def sim_reads(db_prefix, tmp_path_factory):
+    d = tmp_path_factory.mktemp("sim")
+    out = str(d / "sim_SE.fasta")
+    from hmmufotu_tpu.cli.sim import main as sim_main
+    rc = sim_main([db_prefix, out, "-N", "30", "-S", "0",
+                   "--mean-size", "300", "--sd-size", "20"])
+    assert rc == 0
+    return out
+
+
+@pytest.fixture(scope="module")
+def assignment(db_prefix, sim_reads, tmp_path_factory):
+    d = tmp_path_factory.mktemp("assign")
+    out = str(d / "assign.tsv")
+    from hmmufotu_tpu.cli.assign import main as assign_main
+    rc = assign_main([db_prefix, sim_reads, "-o", out, "-S", "0"])
+    assert rc == 0
+    return out
+
+
+class TestClosedLoop:
+    def test_assignment_accuracy(self, assignment):
+        """Simulated reads must be placed on (or next to) the true
+        branch — the simulator is the accuracy oracle."""
+        hits = total = 0
+        for line in open(assignment):
+            if line.startswith("#") or line.startswith("id\t"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            m = re.search(r"branchID=(\d+)->(\d+)", f[1])
+            total += 1
+            tb = {m.group(1), m.group(2)}
+            pb = set(f[10].split("->")) if "->" in f[10] else set()
+            hits += bool(tb & pb)
+        assert total == 30
+        assert hits >= int(0.85 * total)
+
+    def test_sum(self, db_prefix, assignment, tmp_path):
+        from hmmufotu_tpu.cli.sum import main as sum_main
+        table = str(tmp_path / "otu.tsv")
+        cs = str(tmp_path / "otus.fasta")
+        tree = str(tmp_path / "otus.tree")
+        rc = sum_main([db_prefix, assignment, "-o", table, "-c", cs,
+                       "-t", tree])
+        assert rc == 0
+        tab = OTUTable.load_table(table)
+        assert tab.num_otus > 0 and tab.num_samples == 1
+        assert tab.metric.sum() <= 30
+        assert open(cs).read().startswith(">OTU_")
+        newick = open(tree).read()
+        assert newick.endswith(";") \
+            and newick.count("(") == newick.count(")")
+
+    def test_subset_norm_merge(self, db_prefix, assignment, tmp_path):
+        from hmmufotu_tpu.cli.sum import main as sum_main
+        from hmmufotu_tpu.cli.subset import main as subset_main
+        from hmmufotu_tpu.cli.norm import main as norm_main
+        from hmmufotu_tpu.cli.merge import main as merge_main
+        table = str(tmp_path / "otu.tsv")
+        assert sum_main([db_prefix, assignment, "-o", table]) == 0
+        sub = str(tmp_path / "sub.tsv")
+        assert subset_main([table, sub, "-n", "5", "-S", "0"]) == 0
+        t = OTUTable.load_table(sub)
+        assert t.metric.sum(axis=0).max() <= 5
+        norm = str(tmp_path / "norm.tsv")
+        assert norm_main([table, norm, "-Z", "1"]) == 0
+        t = OTUTable.load_table(norm)
+        np.testing.assert_allclose(t.metric.sum(axis=0), 1.0,
+                                   rtol=1e-4)  # %g text roundtrip
+        merged = str(tmp_path / "merged.tsv")
+        assert merge_main([table, sub, "-o", merged]) == 0
+        t0 = OTUTable.load_table(table)
+        tm = OTUTable.load_table(merged)
+        assert tm.metric.sum() == pytest.approx(
+            t0.metric.sum() + OTUTable.load_table(sub).metric.sum())
+
+    def test_jplace(self, db_prefix, assignment, tmp_path):
+        from hmmufotu_tpu.cli.jplace import main as jplace_main
+        out = str(tmp_path / "out.jplace")
+        assert jplace_main([db_prefix, assignment, "-o", out]) == 0
+        doc = json.load(open(out))
+        assert doc["version"] == 3
+        assert doc["fields"][0] == "edge_num"
+        assert len(doc["placements"]) == 30
+        assert "{" in doc["tree"]
+        for p in doc["placements"]:
+            row = p["p"][0]
+            assert len(row) == 6
+            assert row[1] < 0  # likelihood negative
+
+    def test_inspect(self, db_prefix, capsys):
+        from hmmufotu_tpu.cli.inspect import main as inspect_main
+        assert inspect_main([db_prefix]) == 0
+        out = capsys.readouterr().out
+        assert "tree log-likelihood" in out
+
+
+class TestDevicePlacement:
+    def test_device_matches_host(self, db_prefix):
+        from hmmufotu_tpu.db import Database
+        from hmmufotu_tpu.phylo.placement import DevicePlacer
+        from hmmufotu_tpu import pipeline as pl
+        tree = Database.load(db_prefix).ptu
+        rng = np.random.default_rng(1)
+        leaves = [u for u in range(tree.num_nodes)
+                  if tree.is_leaf(u) and tree.msa_id[u] >= 0]
+        B = 8
+        seqs = np.full((B, tree.cs_len), -2, dtype=np.int8)
+        starts = np.zeros(B, np.int32)
+        ends = np.zeros(B, np.int32)
+        for r in range(B):
+            u = int(rng.choice(leaves))
+            codes = tree.seqs[u]
+            pos = np.nonzero(codes >= 0)[0]
+            st = int(rng.integers(0, max(1, len(pos) - 210)))
+            w = pos[st:st + 200]
+            piece = codes[w].copy()
+            mut = rng.random(len(piece)) < 0.02
+            piece[mut] = rng.integers(0, 4, int(mut.sum()))
+            seqs[r, w] = piece
+            starts[r], ends[r] = w[0], w[-1]
+        placer = DevicePlacer(tree, window=384)
+        out = placer.place_batch(seqs, starts, ends)
+        for r in range(B):
+            dev_best = out["cand"][r][out["loglik"][r].argmax()]
+            locs = pl.get_seed(tree, seqs[r], int(starts[r]),
+                               int(ends[r]))
+            places = pl.estimate_seq(tree, seqs[r], locs)
+            places = pl.filter_placements(places)
+            places = pl.place_seq(tree, seqs[r], places)
+            places.sort(key=lambda p: -p.loglik)
+            assert dev_best == places[0].c_node
+            # loglik agreement within f32 tolerance
+            assert out["loglik"][r].max() == pytest.approx(
+                places[0].loglik, rel=1e-3, abs=0.5)
+
+
+class TestOTUTable:
+    def test_roundtrip_and_ops(self, tmp_path):
+        t = OTUTable()
+        t.add_sample("s1")
+        t.add_sample("s2")
+        t.add_otu("OTU_1", "k__A", np.array([3.0, 1.0]))
+        t.add_otu("OTU_2", "k__B", np.array([0.0, 5.0]))
+        p = str(tmp_path / "t.tsv")
+        t.save_table(p)
+        back = OTUTable.load_table(p)
+        assert back.samples == ["s1", "s2"]
+        np.testing.assert_allclose(back.metric, t.metric)
+        assert back.get_taxon("OTU_2") == "k__B"
+        # merge aligns names
+        t2 = OTUTable()
+        t2.add_sample("s2")
+        t2.add_otu("OTU_2", "k__B", np.array([2.0]))
+        t2.add_otu("OTU_3", "k__C", np.array([1.0]))
+        t += t2
+        assert t.num_otus == 3
+        assert t.metric[t.otus.index("OTU_2"),
+                        t.samples.index("s2")] == 7.0
+
+    def test_rarefaction(self):
+        rng = np.random.default_rng(0)
+        t = OTUTable()
+        t.add_sample("s")
+        for i in range(5):
+            t.add_otu(f"O{i}", "t", np.array([20.0]))
+        t.subset_uniform(50, rng)
+        assert t.metric.sum() == 50
+        t2 = OTUTable()
+        t2.add_sample("s")
+        for i in range(5):
+            t2.add_otu(f"O{i}", "t", np.array([20.0]))
+        t2.subset_multinom(50, rng)
+        assert t2.metric.sum() == 50
