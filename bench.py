@@ -89,9 +89,26 @@ def main():
     rng = np.random.default_rng(0)
     reads = simulate_reads(tree, rng, N_READS)
 
+    verbose = bool(os.environ.get("BENCH_VERBOSE"))
+    stage_t = {"seed": 0.0, "viterbi": 0.0, "albuild": 0.0,
+               "place": 0.0}
+
     def assign_batch(batch):
-        alns = pl.align_reads(aligner, csfm, batch, rng=rng)
-        best = pl.assign_batch_device(tree, placer, alns)
+        if verbose:
+            t0 = time.time()
+            vpaths = pl.batch_find_seed_vpaths(aligner.hmm, csfm, batch,
+                                               rng=rng)
+            t1 = time.time()
+            alns = aligner.align_batch(batch, vpaths)
+            t2 = time.time()
+            best = pl.assign_batch_device(tree, placer, alns)
+            t3 = time.time()
+            stage_t["seed"] += t1 - t0
+            stage_t["viterbi"] += t2 - t1
+            stage_t["place"] += t3 - t2
+        else:
+            alns = pl.align_reads(aligner, csfm, batch, rng=rng)
+            best = pl.assign_batch_device(tree, placer, alns)
         return sum(b is not None for b in best)
 
     # warmup (jit compile)
@@ -104,6 +121,10 @@ def main():
     dt = time.time() - t0
     rps = n_done / dt
 
+    if verbose:
+        print("stage times:", {k: round(v, 2)
+                               for k, v in stage_t.items()},
+              file=sys.stderr)
     print(json.dumps({
         "metric": "assign_throughput",
         "value": round(rps, 2),

@@ -258,6 +258,63 @@ def viterbi_scan(dh: DeviceHMM, codes: jax.Array, lengths: jax.Array,
     return best, best_i, best_j, choices
 
 
+@partial(jax.jit, static_argnames=("K", "max_steps"))
+def traceback_device(choices: jax.Array, min_i: jax.Array,
+                     min_j: jax.Array, K: int, max_steps: int):
+    """Batched traceback on device (the host version below transfers
+    the full [n_rows, B, K+1] choice planes; this walks them on device
+    and ships only the [B, max_steps] state strings).
+
+    choices: [n_rows, B, K+1] uint8; min_i/min_j: [B].
+    Returns (trace [B, max_steps] int8 REVERSED (state codes
+    0=B,1=M,2=I,3=D,4=E,5=pad), aln_start, aln_end, aln_from, aln_to).
+    """
+    n_rows, B, lanes = choices.shape
+    flat = choices.reshape(-1)
+
+    s0 = jnp.where(min_j <= K, 1, 2).astype(jnp.int8)   # M or I
+    i0 = min_i
+    j0 = jnp.minimum(min_j, K)
+
+    def step(carry, t):
+        s, i, j, done = carry
+        live = ~done & (i >= 1) & (j >= 0)
+        emit = jnp.where(live, s, 5).astype(jnp.int8)
+        idx = (i - 1) * (B * lanes) + jnp.arange(B) * lanes + j
+        ch = jnp.take(flat, jnp.clip(idx, 0, flat.size - 1))
+        ch = jnp.where(live, ch, 0)
+        cm = (ch & 3).astype(jnp.int8)                  # BMID code
+        ci = ((ch >> 2) & 1).astype(jnp.int8)
+        cd = ((ch >> 3) & 1).astype(jnp.int8)
+        is_m = s == 1
+        is_i = s == 2
+        is_d = s == 3
+        # next state by current state (cpp:966-1000)
+        nxt_m = cm
+        nxt_i = jnp.where(j > 0, jnp.where(ci == 0, 1, 2),
+                          jnp.where(ci == 0, 0, 2)).astype(jnp.int8)
+        nxt_d = jnp.where(cd == 0, 1, 3).astype(jnp.int8)
+        s_n = jnp.where(is_m, nxt_m,
+                        jnp.where(is_i, nxt_i,
+                                  jnp.where(is_d, nxt_d, s)))
+        i_n = i - jnp.where(is_m | is_i, 1, 0)
+        j_n = j - jnp.where(is_m | is_d, 1, 0)
+        # stop after emitting B, or when out of bounds
+        done_n = done | (live & (s == 0)) | ~live
+        s2 = jnp.where(live, s_n, s)
+        i2 = jnp.where(live, i_n, i)
+        j2 = jnp.where(live, j_n, j)
+        return (s2, i2, j2, done_n), emit
+
+    init = (s0, i0, j0, jnp.zeros((B,), bool))
+    (s_f, i_f, j_f, _), emits = jax.lax.scan(
+        step, init, jnp.arange(max_steps))
+    # emits[t] is the state emitted at step t, in reverse path order
+    aln_start = j_f + 1
+    aln_from = i_f + 1
+    return emits.T, aln_start, j0, aln_from, i0
+
+
 def traceback(choices: np.ndarray, min_i: int, min_j: int, K: int
               ) -> tuple[str, int, int, int, int]:
     """Host traceback over the packed choice planes
@@ -295,12 +352,39 @@ def traceback(choices: np.ndarray, min_i: int, min_j: int, K: int
     return "".join(reversed(trace)), aln_start, aln_end, aln_from, aln_to
 
 
-class ViterbiAligner:
-    """High-level batched aligner: device DP + host traceback/align."""
+@jax.jit
+def pack_choices(choices: jax.Array) -> jax.Array:
+    """Pack two 4-bit choice cells per byte along the lane axis to
+    halve the device->host transfer."""
+    n_rows, B, lanes = choices.shape
+    if lanes % 2:
+        choices = jnp.concatenate(
+            [choices, jnp.zeros((n_rows, B, 1), jnp.uint8)], axis=2)
+    return choices[:, :, 0::2] | (choices[:, :, 1::2] << 4)
 
-    def __init__(self, hmm: ProfileHMM, dtype=jnp.float32):
+
+def unpack_choices(packed: np.ndarray, lanes: int) -> np.ndarray:
+    out = np.empty(packed.shape[:-1] + (packed.shape[-1] * 2,),
+                   dtype=np.uint8)
+    out[..., 0::2] = packed & 0x0F
+    out[..., 1::2] = packed >> 4
+    return out[..., :lanes]
+
+
+class ViterbiAligner:
+    """High-level batched aligner: device DP + traceback/align.
+
+    traceback_mode: 'host' downloads packed choice planes and walks
+    them in numpy/python (best when transfers are cheap); 'device'
+    walks them in a device scan and ships only the state strings
+    (best when the host link is thin but sequential scans are fast).
+    """
+
+    def __init__(self, hmm: ProfileHMM, dtype=jnp.float32,
+                 traceback_mode: str = "host"):
         self.hmm = hmm
         self.dh = DeviceHMM.from_profile(hmm, dtype)
+        self.traceback_mode = traceback_mode
 
     def refresh(self):
         """Re-stage cost arrays (after a mode change on the host hmm)."""
@@ -335,36 +419,64 @@ class ViterbiAligner:
         score, mi, mj, choices = viterbi_scan(
             self.dh, jnp.asarray(codes), jnp.asarray(lengths),
             jnp.asarray(regions), n_rows)
-        score = np.asarray(score).copy()
-        mi = np.asarray(mi).copy()
-        mj = np.asarray(mj).copy()
-        choices = np.asarray(choices)
+        score_h = np.asarray(score)
 
-        # banded failures -> full DP rerun
-        failed = [r for r in range(B)
-                  if not np.isfinite(score[r]) and vpaths_per_read[r]]
-        if failed:
+        # banded failures -> full DP rerun, merged on device
+        failed = np.array([not np.isfinite(score_h[r])
+                           and bool(vpaths_per_read[r])
+                           for r in range(B)])
+        if failed.any():
             regions2 = regions.copy()
-            for r in failed:
+            for r in np.nonzero(failed)[0]:
                 regions2[r] = full_dp_regions(n_rows, hmm.K)
             s2, i2, j2, c2 = viterbi_scan(
                 self.dh, jnp.asarray(codes), jnp.asarray(lengths),
                 jnp.asarray(regions2), n_rows)
-            s2, i2, j2 = np.asarray(s2), np.asarray(i2), np.asarray(j2)
-            c2 = np.asarray(c2)
-            choices = choices.copy()
-            for r in failed:
-                score[r], mi[r], mj[r] = s2[r], i2[r], j2[r]
-                choices[:, r] = c2[:, r]
+            fmask = jnp.asarray(failed)
+            score = jnp.where(fmask, s2, score)
+            mi = jnp.where(fmask, i2, mi)
+            mj = jnp.where(fmask, j2, mj)
+            choices = jnp.where(fmask[None, :, None], c2, choices)
+            score_h = np.asarray(score)
 
-        alns = []
+        alns: list[HmmAlignment] = []
+        if self.traceback_mode == "device":
+            # ship [B, steps] state codes, not the full choice planes
+            max_steps = n_rows + hmm.K + 2
+            emits, a_start, a_end, a_from, a_to = traceback_device(
+                choices, mi, mj, hmm.K, max_steps)
+            emits = np.asarray(emits)
+            a_start = np.asarray(a_start)
+            a_end = np.asarray(a_end)
+            a_from = np.asarray(a_from)
+            a_to = np.asarray(a_to)
+            codes_str = "BMIDE"
+            for r in range(B):
+                if not np.isfinite(score_h[r]):
+                    alns.append(HmmAlignment())
+                    continue
+                path = emits[r][emits[r] != 5]
+                trace = "".join(codes_str[c] for c in path[::-1])
+                if not trace.startswith("B"):
+                    trace = "B" + trace
+                trace += "E"
+                alns.append(build_global_align(
+                    hmm, seqs[r], trace, int(a_start[r]),
+                    int(a_end[r]), int(a_from[r]), int(a_to[r]),
+                    float(score_h[r])))
+            return alns
+
+        ch = unpack_choices(np.asarray(pack_choices(choices)),
+                            hmm.K + 1)
+        mi_h = np.asarray(mi)
+        mj_h = np.asarray(mj)
         for r in range(B):
-            if not np.isfinite(score[r]):
+            if not np.isfinite(score_h[r]):
                 alns.append(HmmAlignment())
                 continue
             trace, a_start, a_end, a_from, a_to = traceback(
-                choices[:, r], int(mi[r]), int(mj[r]), hmm.K)
+                ch[:, r], int(mi_h[r]), int(mj_h[r]), hmm.K)
             alns.append(build_global_align(
                 hmm, seqs[r], trace, a_start, a_end, a_from, a_to,
-                float(score[r])))
+                float(score_h[r])))
         return alns

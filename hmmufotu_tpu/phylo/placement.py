@@ -44,6 +44,8 @@ class DeviceTree(NamedTuple):
     brlen: jax.Array      # [N]
     heights: jax.Array    # [N]
     parent: jax.Array     # [N] int32
+    anno_dist: jax.Array  # [N] taxonomy annotation distances
+    anno_id: jax.Array    # [N] int32 id of each node's taxon STRING
     pi: jax.Array         # [4]
     log_pi: jax.Array     # [4]
     rates: jax.Array      # [K] discrete-Gamma rates (or [1.0])
@@ -54,11 +56,19 @@ class DeviceTree(NamedTuple):
         f = lambda a: jnp.asarray(a, dtype=dtype)
         rates = np.ones(1) if tree.dg is None \
             else np.asarray(tree.dg.rates)
+        # distinct annotation strings -> dense int ids (for the
+        # device-side per-taxon posterior aggregation of calcQValues)
+        taxa: dict[str, int] = {}
+        anno_id = np.empty(tree.num_nodes, dtype=np.int32)
+        for u, a in enumerate(tree.anno):
+            anno_id[u] = taxa.setdefault(a, len(taxa))
         return cls(
             msg_up=f(tree.msg_up), msg_down=f(tree.msg_down),
             seqs=jnp.asarray(tree.seqs, jnp.int8),
             brlen=f(tree.brlen), heights=f(tree.heights),
             parent=jnp.asarray(tree.parent, jnp.int32),
+            anno_dist=f(tree.anno_dist),
+            anno_id=jnp.asarray(anno_id),
             pi=f(tree.model.pi), log_pi=f(np.log(tree.model.pi)),
             rates=f(rates),
         )
@@ -135,7 +145,12 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len):
         frac = jnp.where(den > 0, num / den, 0.0)
         p = frac.sum(axis=-1) / n
         bad = ~((p >= 0) & (p <= 1))
-        conv = jnp.abs(jnp.log1p(-p) - jnp.log1p(-p0)) < BRANCH_EPS
+        diff = jnp.abs(jnp.log1p(-p) - jnp.log1p(-p0))
+        # f32 saturation guard: p -> 1 makes log1p(-p) = -inf and the
+        # difference nan; treat saturated lanes as converged (the f64
+        # reference never quite reaches 1, cpp:764-786)
+        conv = (diff < BRANCH_EPS) | ~jnp.isfinite(diff) \
+            | (p >= 1.0 - 1e-7)
         new_done = done | conv | bad
         p_next = jnp.where(done | bad, p0, p)
         return p_next, it + 1, new_done
@@ -147,11 +162,14 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len):
     return jnp.minimum(w, max_len)
 
 
-@partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates"))
+@partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
+                                   "height_prior", "ml_only"))
 def place_batch_device(dt: DeviceTree, seqs: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
-                       max_error: float, W: int, C: int, n_rates: int):
+                       max_error: float, W: int, C: int, n_rates: int,
+                       height_prior: bool = False,
+                       ml_only: bool = False):
     """Full SEP placement of a read batch.
 
     seqs: [B, L] int8 aligned digital reads
@@ -248,6 +266,30 @@ def place_batch_device(dt: DeviceTree, seqs: jax.Array,
     best_est = est_loglik.max(axis=1, keepdims=True)
     live = cand_ok & (best_est - est_loglik <= max_error)
 
+    # compact to the opt_k best candidates by estimated loglik before
+    # the expensive optimization (the reference's filter typically
+    # leaves only a handful of survivors; opt_k bounds the worst case)
+    opt_k = min(16, C)
+    _, order = jax.lax.top_k(jnp.where(live, est_loglik, -INF), opt_k)
+
+    def take_c(x):
+        extra = (1,) * (x.ndim - 2)
+        return jnp.take_along_axis(
+            x, order.reshape(order.shape + extra), axis=1)
+
+    U = take_c(U)
+    V = take_c(V)
+    Nl = take_c(Nl)
+    site_ok_c = take_c(site_ok_c)
+    cand = take_c(cand)
+    c_dist = take_c(c_dist)
+    w0 = take_c(w0)
+    wur0 = take_c(wur0)
+    wvr0 = take_c(wvr0)
+    wnr0 = take_c(wnr0)
+    est_loglik_k = take_c(est_loglik)
+    live = take_c(live)
+
     # ---- accurate joint 3-branch optimization ---------------------------
     def outer_cond(state):
         wur, wvr, wnr, wur_p, wnr_p, it, done = state
@@ -283,12 +325,55 @@ def place_batch_device(dt: DeviceTree, seqs: jax.Array,
     loglik = jnp.where(site_ok_c, cols, 0.0).sum(-1)
     loglik = jnp.where(live, loglik, -INF)
 
+    # ---- device Q values + best-placement summary -----------------------
+    # (calcQValues, HmmUFOtu_main.cpp:182-216, with taxon grouping via
+    # dense anno ids)
+    parent_c = dt.parent[cand]
+    ratio_f = wur_f / w0
+    height_f = dt.heights[cand] + wur_f
+    a_is_c = (ratio_f <= 0.5) | (dt.heights[parent_c] > max_height)
+    a_node = jnp.where(a_is_c, cand, parent_c)
+    anno_total = jnp.where(a_is_c, wur_f + wnr_f, wvr_f + wnr_f) \
+        + dt.anno_dist[a_node]
+    if height_prior:
+        log_prior = -(anno_total - wnr_f + height_f)
+    else:
+        log_prior = jnp.zeros_like(loglik)
+    pp = jnp.where(live, loglik + log_prior, -INF)
+    m = pp.max(axis=1, keepdims=True)
+    wgt = jnp.exp(pp - m)
+    post = wgt / wgt.sum(axis=1, keepdims=True)
+    q_place = jnp.minimum(-10.0 * jnp.log10(
+        jnp.maximum(1.0 - post, 0.0)), 250.0)
+    tax = dt.anno_id[a_node]                        # [B, C]
+    same = tax[:, :, None] == tax[:, None, :]       # [B, C, C]
+    pp_pair = jnp.where(same, pp[:, None, :], -INF)
+    lse_tax = jax.nn.logsumexp(pp_pair, axis=-1)     # [B, C]
+    lse_all = jax.nn.logsumexp(pp, axis=-1)[:, None]
+    post_tax = jnp.exp(lse_tax - lse_all)
+    q_taxon = jnp.minimum(-10.0 * jnp.log10(
+        jnp.maximum(1.0 - post_tax, 0.0)), 250.0)
+    best = (jnp.argmax(jnp.where(live, loglik, -INF), axis=1)
+            if ml_only else jnp.argmax(pp, axis=1))
+
+    def pick(x):
+        return jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
+
+    f32 = lambda x: x.astype(dt.msg_up.dtype)
+    summary = jnp.stack([
+        f32(pick(cand)), f32(pick(parent_c)), f32(pick(a_node)),
+        pick(ratio_f), pick(wnr_f), pick(loglik), pick(q_place),
+        pick(q_taxon), pick(height_f), pick(anno_total), pick(w0),
+        f32(live.any(axis=1)),
+    ], axis=1)                                      # [B, 12]
+
     return {
         "cand": cand, "c_dist": c_dist, "live": live,
-        "w0": w0, "ratio": wur_f / w0, "wnr": wnr_f,
-        "loglik": loglik, "est_loglik": est_loglik,
-        "height": dt.heights[cand] + wur_f,
-        "parent": dt.parent[cand],
+        "w0": w0, "ratio": ratio_f, "wnr": wnr_f,
+        "loglik": loglik, "est_loglik": est_loglik_k,
+        "height": height_f, "parent": parent_c,
+        "q_place": q_place, "q_taxon": q_taxon,
+        "summary": summary,
     }
 
 
@@ -340,12 +425,22 @@ class DevicePlacer:
     def place_batch(self, seqs: np.ndarray, starts: np.ndarray,
                     ends: np.ndarray, max_diff: float = math.inf,
                     max_height: float = math.inf,
-                    max_error: float = 20.0) -> dict:
-        """Place aligned reads; clamps windows to the fixed width W."""
+                    max_error: float = 20.0,
+                    height_prior: bool = False, ml_only: bool = False,
+                    summary_only: bool = False) -> dict:
+        """Place aligned reads; clamps windows to the fixed width W.
+
+        summary_only=True downloads ONLY the packed [B, 12] best-
+        placement summary (c/p/a node, ratio, wnr, loglik, qPlace,
+        qTaxon, height, annoDist, w0, valid) — a few KB instead of the
+        full candidate grids, which matters when the device->host link
+        is thin."""
         ends = np.minimum(ends, starts + self.W - 1)
         out = place_batch_device(
             self.dt, jnp.asarray(seqs, jnp.int8),
             jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
             self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
-            self.n_rates)
+            self.n_rates, height_prior, ml_only)
+        if summary_only:
+            return {"summary": np.asarray(out["summary"])}
         return {k: np.asarray(v) for k, v in out.items()}

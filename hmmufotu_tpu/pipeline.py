@@ -329,8 +329,9 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
     (hmmufotu_tpu.phylo.placement.DevicePlacer); returns the best
     PTPlacement per read (None for invalid alignments).
 
-    Replaces the per-read host loop of assign_read with one jitted
-    batch computation; Q values stay host-side (string taxon grouping).
+    Everything — seeding, estimation, 3-branch optimization and Q
+    values (per-taxon grouping via dense anno ids) — runs in one jitted
+    batch computation; only the packed [B, 12] summary is downloaded.
     """
     B = len(alns)
     L = tree.cs_len
@@ -346,33 +347,21 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
         starts[r] = aln.cs_start - 1
         ends[r] = aln.cs_end - 1
     out = placer.place_batch(seqs, starts, ends, max_diff, max_height,
-                             max_error)
+                             max_error,
+                             height_prior=(prior_type == "height"),
+                             ml_only=ml_only, summary_only=True)
+    s = out["summary"]
 
     results: list[PTPlacement | None] = []
     for r in range(B):
-        if not valid[r]:
+        if not valid[r] or s[r, 11] == 0:
             results.append(None)
             continue
-        live = np.nonzero(out["live"][r])[0]
-        if live.size == 0:
-            results.append(None)
-            continue
-        places = []
-        for c in live:
-            u = int(out["cand"][r, c])
-            v = int(out["parent"][r, c])
-            ratio = float(out["ratio"][r, c])
-            h_v = float(tree.heights[v])
-            a = u if (ratio <= 0.5 or h_v > max_height) else v
-            places.append(PTPlacement(
-                int(starts[r]), int(ends[r]), u, v, a,
-                float(out["w0"][r, c]), ratio,
-                float(out["wnr"][r, c]), float(out["loglik"][r, c]),
-                float(out["height"][r, c])))
-        if ml_only:
-            places.sort(key=lambda p: -p.loglik)
-        else:
-            calc_q_values(tree, places, prior_type)
-            places.sort(key=lambda p: -p.q_place)
-        results.append(places[0])
+        place = PTPlacement(
+            int(starts[r]), int(ends[r]),
+            int(s[r, 0]), int(s[r, 1]), int(s[r, 2]),
+            float(s[r, 10]), float(s[r, 3]), float(s[r, 4]),
+            float(s[r, 5]), float(s[r, 8]),
+            float(s[r, 6]), float(s[r, 7]))
+        results.append(place)
     return results
