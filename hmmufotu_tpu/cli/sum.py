@@ -171,10 +171,18 @@ def main(argv=None) -> int:
                                         prefix=args.prefix))
         if args.ptree:
             # pseudo-tree: graft a 0-length leaf copy at each observed
-            # internal OTU (reference addPseudoLeaf,
-            # PhyloTreeUnrooted.cpp:376-412); here rendered directly
+            # internal OTU so OTU ids point at leaves (reference
+            # addPseudoLeaf, PhyloTreeUnrooted.cpp:376-412)
+            tree.add_pseudo_leaf(otu_seen)
+            ancestors2 = set()
+            for u in otu_seen:
+                p = u
+                while p >= 0:
+                    ancestors2.add(int(p))
+                    p = int(tree.parent[p]) if tree.parent[p] >= 0 \
+                        else -1
             with open(args.ptree, "w") as fh:
-                fh.write(tree.to_newick(subset=ancestors,
+                fh.write(tree.to_newick(subset=ancestors2,
                                         prefix=args.prefix))
     return 0
 

@@ -1,0 +1,291 @@
+"""Pallas TPU kernel for the banded Viterbi DP.
+
+The XLA `lax.scan` formulation (viterbi.py) issues dozens of small
+kernels per read position; this kernel runs the ENTIRE (L+1)x(K+1)
+row recurrence of 8 reads per program in one Pallas kernel with all
+DP state resident in VMEM:
+
+  * M/I recurrences: elementwise over the [8, KP] lane tile;
+  * the within-row D chain as an in-register Hillis-Steele min-plus
+    doubling scan (log2(KP) shifted-min steps);
+  * banding via region scalars (same semantics as
+    viterbi.banded_regions);
+  * per-row S minima tracked in the loop carry with the reference's
+    column-major tie-breaking.
+
+reference: src/BandedHMMP7.cpp:748-892 (the per-cell CPU DP).
+Numerics and choice encoding identical to viterbi.viterbi_scan — the
+two paths are cross-checked in tests.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .viterbi import DeviceHMM, MAX_REGIONS, REGION_WIDTH
+
+INF = jnp.inf
+READS_PER_PROGRAM = 8
+
+
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+def _shift_lanes(x, s, fill):
+    """x[..., j] -> x[..., j-s] with `fill` in the first s lanes."""
+    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
+    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
+
+
+def _viterbi_kernel(codes_ref, meta_ref, tc_ref, em_ref,
+                    choices_ref, best_ref,
+                    *, n_rows: int, K: int, KP: int):
+    """One program = READS_PER_PROGRAM reads, full row loop.
+
+    meta_ref [R, 128] int32: col 0 = read length, cols 8..8+40 =
+    flattened region scalars.
+    """
+    R = READS_PER_PROGRAM
+    jj = jax.lax.broadcasted_iota(jnp.int32, (R, KP), 1)
+    lane_valid = jj <= K
+
+    # transition cost rows (packed in tc_ref [16, KP]):
+    # 0 TMM_sh 1 TIM_sh 2 TDM_sh 3 TMD_sh 4 TDD_sh 5 TMI 6 TII
+    # 7 entry 8 exit
+    # scalars packed in tc_ref[9]: 0 t_NN 1 t_NB 2 t_CC 3 t_EC 4 tIMK
+    TMM_sh = tc_ref[0:1, :]
+    TIM_sh = tc_ref[1:2, :]
+    TDM_sh = tc_ref[2:3, :]
+    TMD_sh = tc_ref[3:4, :]
+    TDD_sh = tc_ref[4:5, :]
+    TMI = tc_ref[5:6, :]
+    TII = tc_ref[6:7, :]
+    entry_c = tc_ref[7:8, :]
+    exit_c = tc_ref[8:9, :]
+    t_NN = tc_ref[9, 0]
+    t_NB = tc_ref[9, 1]
+    t_CC = tc_ref[9, 2]
+    t_EC = tc_ref[9, 3]
+    tIMK = tc_ref[9, 4]
+
+    d_invalid = (jj <= 1) | (jj >= K)
+
+    lengths = meta_ref[:, 0:1]                      # [R, 1] int32
+
+    def masks_for_row(i):
+        allowed = jnp.zeros((R, KP), jnp.bool_)
+        entry_ok = jnp.zeros((R, KP), jnp.bool_)
+        for reg in range(MAX_REGIONS):
+            base = 8 + reg * REGION_WIDTH
+            j_lo = meta_ref[:, base + 0:base + 1]
+            j_hi = meta_ref[:, base + 1:base + 2]
+            i_lo = meta_ref[:, base + 2:base + 3]
+            i_hi = meta_ref[:, base + 3:base + 4]
+            ent = meta_ref[:, base + 4:base + 5]
+            diag = meta_ref[:, base + 5:base + 6]
+            lo_d = meta_ref[:, base + 6:base + 7]
+            hi_d = meta_ref[:, base + 7:base + 8]
+            in_rect = (jj >= j_lo) & (jj <= j_hi) \
+                & (i >= i_lo) & (i <= i_hi)
+            dist = (i - i_lo) - (jj - j_lo)
+            ok_diag = (diag == 0) | ((dist >= lo_d) & (dist <= hi_d))
+            cov = in_rect & ok_diag
+            allowed = allowed | cov
+            entry_ok = entry_ok | (cov & (ent == 1))
+        allowed = allowed & (jj >= 1) & lane_valid
+        entry_ok = entry_ok & (jj >= 1) & lane_valid
+        return allowed, entry_ok
+
+    def body(i, carry):
+        Mp, Ip, Dp, best, best_i, best_j = carry
+        b = codes_ref[:, pl.ds(i - 1, 1)]           # [R, 1] int32
+        # emission rows by per-read base (4-way select)
+        em = jnp.zeros((R, KP), jnp.float32)
+        ei = jnp.zeros((R, KP), jnp.float32)
+        for base in range(4):
+            sel = b == base
+            em = jnp.where(sel, em_ref[base:base + 1, :], em)
+            ei = jnp.where(sel, em_ref[4 + base:5 + base, :], ei)
+
+        fi = i.astype(jnp.float32)
+        col0 = jnp.where(i == 1, 0.0, t_NN * (fi - 1.0)) + t_NB
+
+        allowed, entry_ok = masks_for_row(i)
+
+        optB = jnp.where(entry_ok, col0 + entry_c, INF)
+        optM = _shift_lanes(Mp, 1, INF) + TMM_sh
+        optI = _shift_lanes(Ip, 1, INF) + TIM_sh
+        optD = _shift_lanes(Dp, 1, INF) + TDM_sh
+        mn = jnp.minimum(jnp.minimum(optB, optM),
+                         jnp.minimum(optI, optD))
+        Mn = em + mn
+        # first-strict-min order B,M,I,D (whichMin, h:722-744)
+        choiceM = jnp.where(
+            optB <= mn, 0, jnp.where(
+                optM <= mn, 1, jnp.where(optI <= mn, 2, 3))
+        ).astype(jnp.uint8)
+        # j==1 traceback uses the B/I pair only (cpp:966-973)
+        c1 = jnp.where(optB <= optI, 0, 2).astype(jnp.uint8)
+        choiceM = jnp.where(jj == 1, c1, choiceM)
+        Mn = jnp.where(allowed, Mn, INF)
+        Mn = jnp.where(jj == 0, col0, Mn)
+
+        iM = Mp + TMI
+        iI = Ip + TII
+        In = ei + jnp.minimum(iM, iI)
+        choiceI = (iM > iI).astype(jnp.uint8)
+        In = jnp.where(allowed, In, INF)
+        In = jnp.where(jj == 0, col0, In)
+        # j==0 I choice: current-row B column vs I(i-1,0)
+        ci0 = (Mn[:, 0:1] + TMI[0, 0] > Ip[:, 0:1] + TII[0, 0]) \
+            .astype(jnp.uint8)
+        choiceI = jnp.where(jj == 0, ci0, choiceI)
+
+        # D chain: x_j = min(a_j, x_{j-1} + c_j) via min-plus
+        # Hillis-Steele doubling
+        Mn_sh = _shift_lanes(Mn, 1, INF)
+        dmask = ~d_invalid & allowed
+        a = jnp.where(dmask, Mn_sh + TMD_sh, INF)
+        c = jnp.where(dmask, TDD_sh + jnp.zeros((R, KP), jnp.float32),
+                      INF)
+        s = 1
+        while s < KP:
+            a_sh = _shift_lanes(a, s, INF)
+            c_sh = _shift_lanes(c, s, 0.0)
+            a = jnp.minimum(a_sh + c, a)
+            c = c_sh + c
+            s *= 2
+        Dn = jnp.where(d_invalid, INF, a)
+        choiceD = (Mn_sh + TMD_sh
+                   > _shift_lanes(Dn, 1, INF) + TDD_sh) \
+            .astype(jnp.uint8)
+
+        # S row + running best (column-major tie-break)
+        live = i <= lengths                         # [R, 1]
+        rem = (lengths - i).astype(jnp.float32)
+        c_loops = jnp.where(i < lengths, t_CC * rem, 0.0)  # [R, 1]
+        s_m = Mn + exit_c + t_EC + c_loops
+        s_m = jnp.where(lane_valid & live, s_m, INF)
+        # IK exit lane encoded as j = K+1
+        s_i = In[:, K:K + 1] + tIMK + t_EC + c_loops
+        s_i = jnp.where(live, s_i, INF)
+
+        row_min_m = jnp.min(s_m, axis=1, keepdims=True)   # [R, 1]
+        ismin = s_m == row_min_m
+        row_j_m = jnp.min(jnp.where(ismin, jj, KP + 2), axis=1,
+                          keepdims=True)
+        row_min = jnp.minimum(row_min_m, s_i)
+        row_j = jnp.where(row_min_m <= s_i, row_j_m, K + 1) \
+            .astype(jnp.int32)
+        upd = (row_min < best) | ((row_min == best) & (row_j < best_j))
+        best = jnp.where(upd, row_min, best)
+        best_i = jnp.where(upd, i, best_i)
+        best_j = jnp.where(upd, row_j, best_j)
+
+        ch = (choiceM | (choiceI << 2) | (choiceD << 3)) \
+            .astype(jnp.uint8)
+        choices_ref[pl.ds(i - 1, 1), :, :] = ch[None]
+        return Mn, In, Dn, best, best_i, best_j
+
+    init = (jnp.full((R, KP), INF, jnp.float32),
+            jnp.full((R, KP), INF, jnp.float32),
+            jnp.full((R, KP), INF, jnp.float32),
+            jnp.full((R, 1), INF, jnp.float32),
+            jnp.zeros((R, 1), jnp.int32),
+            jnp.full((R, 1), jnp.int32(2 ** 30), jnp.int32))
+    _, _, _, best, best_i, best_j = jax.lax.fori_loop(
+        1, n_rows + 1, body, init)
+    out = jnp.concatenate(
+        [best, best_i.astype(jnp.float32),
+         best_j.astype(jnp.float32),
+         jnp.zeros((READS_PER_PROGRAM, 125), jnp.float32)], axis=1)
+    best_ref[:, :] = out
+
+
+@partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
+                   n_rows: int, interpret: bool = False):
+    """Pallas-kernel Viterbi over a padded read batch.
+
+    Same contract as viterbi.viterbi_scan: returns
+    (min_score [B], min_i [B], min_j [B],
+     choices [n_rows, B, K+1] uint8).
+    """
+    B = codes.shape[0]
+    K = dh.K
+    KP = _round_up(K + 2, 128)
+    R = READS_PER_PROGRAM
+    if B % R:
+        raise ValueError(f"batch {B} must be a multiple of {R}")
+
+    def padded(v, fill=np.inf):
+        out = jnp.full((KP,), fill, jnp.float32)
+        return out.at[: v.shape[0]].set(v.astype(jnp.float32))
+
+    def shift1(v):
+        return jnp.concatenate(
+            [jnp.full((1,), INF, jnp.float32), v[:-1]])
+
+    scal_row = jnp.zeros((KP,), jnp.float32)
+    scal_row = scal_row.at[0].set(dh.t_NN.astype(jnp.float32))
+    scal_row = scal_row.at[1].set(dh.t_NB.astype(jnp.float32))
+    scal_row = scal_row.at[2].set(dh.t_CC.astype(jnp.float32))
+    scal_row = scal_row.at[3].set(dh.t_EC.astype(jnp.float32))
+    scal_row = scal_row.at[4].set(dh.TIM[K].astype(jnp.float32))
+    zero_row = jnp.zeros((KP,), jnp.float32)
+    tc = jnp.stack([
+        padded(shift1(dh.TMM)), padded(shift1(dh.TIM)),
+        padded(shift1(dh.TDM)), padded(shift1(dh.TMD)),
+        padded(shift1(dh.TDD)), padded(dh.TMI), padded(dh.TII),
+        padded(dh.entry), padded(dh.exit), scal_row,
+        zero_row, zero_row, zero_row, zero_row, zero_row, zero_row,
+    ])                                              # [16, KP]
+    em = jnp.concatenate([
+        jnp.stack([padded(dh.EM[b]) for b in range(4)]),
+        jnp.stack([padded(dh.EI[b]) for b in range(4)]),
+    ])                                              # [8, KP]
+
+    meta = jnp.zeros((B, 128), jnp.int32)
+    meta = meta.at[:, 0].set(lengths.astype(jnp.int32))
+    meta = meta.at[:, 8:8 + MAX_REGIONS * REGION_WIDTH].set(
+        regions.reshape(B, -1).astype(jnp.int32))
+    codes_i = codes.astype(jnp.int32)
+
+    grid = (B // R,)
+    choices, best = pl.pallas_call(
+        partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((R, n_rows), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((16, KP), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((8, KP), lambda p: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((n_rows, R, KP), lambda p: (0, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, 128), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((n_rows, B, KP), jnp.uint8),
+            jax.ShapeDtypeStruct((B, 128), jnp.float32),
+        ],
+        interpret=interpret,
+    )(codes_i, meta, tc, em)
+
+    score = best[:, 0]
+    min_i = best[:, 1].astype(jnp.int32)
+    min_j = best[:, 2].astype(jnp.int32)
+    return score, min_i, min_j, choices[:, :, : K + 1]

@@ -381,10 +381,24 @@ class ViterbiAligner:
     """
 
     def __init__(self, hmm: ProfileHMM, dtype=jnp.float32,
-                 traceback_mode: str = "host"):
+                 traceback_mode: str = "host",
+                 kernel: str | None = None):
         self.hmm = hmm
         self.dh = DeviceHMM.from_profile(hmm, dtype)
         self.traceback_mode = traceback_mode
+        if kernel is None:
+            # the Pallas kernel is the fast path on real TPUs; the
+            # XLA scan is used elsewhere (interpret mode is slow)
+            kernel = "pallas" if jax.default_backend() == "tpu" \
+                else "scan"
+        self.kernel = kernel
+
+    def _run_dp(self, codes, lengths, regions, n_rows):
+        if self.kernel == "pallas":
+            from .pallas_viterbi import viterbi_pallas
+            return viterbi_pallas(self.dh, codes, lengths, regions,
+                                  n_rows)
+        return viterbi_scan(self.dh, codes, lengths, regions, n_rows)
 
     def refresh(self):
         """Re-stage cost arrays (after a mode change on the host hmm)."""
@@ -399,9 +413,15 @@ class ViterbiAligner:
         Reads whose banded DP finds no finite path are automatically
         re-run unbanded (reference HmmUFOtu_main.cpp:89-96)."""
         hmm = self.hmm
-        B = len(seqs)
+        B0 = len(seqs)
         if vpaths_per_read is None:
-            vpaths_per_read = [None] * B
+            vpaths_per_read = [None] * B0
+        # pad the batch to a multiple of the pallas reads-per-program
+        B = (B0 + 7) // 8 * 8 if self.kernel == "pallas" else B0
+        if B != B0:
+            seqs = list(seqs) + [seqs[0]] * (B - B0)
+            vpaths_per_read = list(vpaths_per_read) \
+                + [None] * (B - B0)
         n_rows = max_len or max(len(s) for s in seqs)
         codes = np.zeros((B, n_rows), dtype=np.int8)
         lengths = np.zeros(B, dtype=np.int32)
@@ -416,8 +436,8 @@ class ViterbiAligner:
             else:
                 regions[r] = full_dp_regions(n_rows, hmm.K)
 
-        score, mi, mj, choices = viterbi_scan(
-            self.dh, jnp.asarray(codes), jnp.asarray(lengths),
+        score, mi, mj, choices = self._run_dp(
+            jnp.asarray(codes), jnp.asarray(lengths),
             jnp.asarray(regions), n_rows)
         score_h = np.asarray(score)
 
@@ -429,8 +449,8 @@ class ViterbiAligner:
             regions2 = regions.copy()
             for r in np.nonzero(failed)[0]:
                 regions2[r] = full_dp_regions(n_rows, hmm.K)
-            s2, i2, j2, c2 = viterbi_scan(
-                self.dh, jnp.asarray(codes), jnp.asarray(lengths),
+            s2, i2, j2, c2 = self._run_dp(
+                jnp.asarray(codes), jnp.asarray(lengths),
                 jnp.asarray(regions2), n_rows)
             fmask = jnp.asarray(failed)
             score = jnp.where(fmask, s2, score)
@@ -464,7 +484,7 @@ class ViterbiAligner:
                     hmm, seqs[r], trace, int(a_start[r]),
                     int(a_end[r]), int(a_from[r]), int(a_to[r]),
                     float(score_h[r])))
-            return alns
+            return alns[:B0]
 
         ch = unpack_choices(np.asarray(pack_choices(choices)),
                             hmm.K + 1)
@@ -479,4 +499,4 @@ class ViterbiAligner:
             alns.append(build_global_align(
                 hmm, seqs[r], trace, a_start, a_end, a_from, a_to,
                 float(score_h[r])))
-        return alns
+        return alns[:B0]

@@ -678,6 +678,59 @@ class PTUnrooted:
                            np.int8(GAP_BASE))
         return seq
 
+    def add_pseudo_leaf(self, subset) -> int:
+        """Graft a pseudo-leaf at every non-leaf node in `subset`
+        (reference addPseudoLeaf, PhyloTreeUnrooted.cpp:376-412).
+
+        Each internal OTU node u gains a new internal parent r (holding
+        u's old branch) and a 0-length leaf that TAKES u's node id (the
+        reference swaps ids so OTU ids keep pointing at leaves); u's
+        internal role moves to a fresh id.  Likelihood caches are NOT
+        extended — use only for tree export afterwards.
+        """
+        added = 0
+        for u in sorted(subset):
+            if self.is_leaf(u):
+                continue
+            old_parent = int(self.parent[u])
+            old_len = float(self.brlen[u])
+            r = len(self.names)
+            m = r + 1
+            # r: new internal node taking u's place under old_parent
+            self.names.append(self.names[u])
+            self.anno.append(self.anno[u])
+            # m: u's internal role (children move here)
+            self.names.append(self.names[u])
+            self.anno.append(self.anno[u])
+            self.parent = np.concatenate(
+                [self.parent, [old_parent, r]])
+            self.brlen = np.concatenate([self.brlen, [old_len, 0.0]])
+            self.anno_dist = np.concatenate(
+                [self.anno_dist, [self.anno_dist[u]] * 2])
+            self.heights = np.concatenate(
+                [self.heights, [self.heights[u]] * 2])
+            if self.seqs.size:
+                self.seqs = np.concatenate(
+                    [self.seqs, self.seqs[[u, u]]], axis=0)
+                self.has_seq = np.concatenate(
+                    [self.has_seq, self.has_seq[[u, u]]])
+            self.msa_id = np.concatenate([self.msa_id, [-1, -1]])
+            # move u's children to m, then turn u into a 0-length leaf
+            self._children = None
+            for c in range(len(self.parent) - 2):
+                if self.parent[c] == u and c != u:
+                    self.parent[c] = m
+            if self.root == u:
+                self.root = r
+                self.parent[r] = -1
+                self.brlen[r] = 0.0
+            self.parent[u] = r
+            self.brlen[u] = 0.0
+            self._children = None
+            added += 2
+        self.msg_up = self.msg_down = None
+        return added
+
     # ----- export / serialization ----------------------------------------
     def to_newick(self, node: int | None = None, subset=None,
                   prefix: str = "") -> str:

@@ -252,3 +252,35 @@ class TestCSFM:
         assert back.count(pat) == csfm.count(pat)
         l1, l2 = back.locate_first(pat), csfm.locate_first(pat)
         assert (l1.start, l1.end, l1.cs) == (l2.start, l2.end, l2.cs)
+
+
+class TestPallasKernel:
+    def test_pallas_matches_scan(self, hmm, msa):
+        """The Pallas DP kernel must agree with the XLA scan
+        formulation (interpret mode on CPU)."""
+        import jax.numpy as jnp
+        from hmmufotu_tpu.hmm.viterbi import (full_dp_regions,
+                                              viterbi_scan)
+        from hmmufotu_tpu.hmm.pallas_viterbi import viterbi_pallas
+        from hmmufotu_tpu.hmm import ViterbiAligner
+        hmm.set_sequence_mode(NGCL)
+        al = ViterbiAligner(hmm, kernel="scan")
+        rng = np.random.default_rng(0)
+        n_rows = 64
+        codes = rng.integers(0, 4, size=(8, n_rows)).astype(np.int8)
+        lengths = np.full(8, n_rows, np.int32)
+        regions = np.tile(full_dp_regions(n_rows, hmm.K)[None],
+                          (8, 1, 1)).astype(np.int32)
+        s1, i1, j1, c1 = viterbi_scan(
+            al.dh, jnp.asarray(codes), jnp.asarray(lengths),
+            jnp.asarray(regions), n_rows)
+        s2, i2, j2, c2 = viterbi_pallas(
+            al.dh, jnp.asarray(codes), jnp.asarray(lengths),
+            jnp.asarray(regions), n_rows, interpret=True)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
+                                   rtol=1e-6)
+        np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
+        np.testing.assert_array_equal(np.asarray(j1), np.asarray(j2))
+        # choice planes may differ only at ulp-level cost ties
+        mismatch = (np.asarray(c1) != np.asarray(c2)).mean()
+        assert mismatch < 1e-4

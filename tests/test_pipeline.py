@@ -212,3 +212,53 @@ class TestOTUTable:
             t2.add_otu(f"O{i}", "t", np.array([20.0]))
         t2.subset_multinom(50, rng)
         assert t2.metric.sum() == 50
+
+
+class TestPairedEnd:
+    def test_pe_closed_loop(self, db_prefix, tmp_path):
+        """PE sim -> assign with mate merge (reference
+        test/sim-run-PE-t.sh)."""
+        from hmmufotu_tpu.cli.sim import main as sim_main
+        from hmmufotu_tpu.cli.assign import main as assign_main
+        fwd = str(tmp_path / "pe_1.fasta")
+        rev = str(tmp_path / "pe_2.fasta")
+        out = str(tmp_path / "assign_pe.tsv")
+        assert sim_main([db_prefix, fwd, "-m", rev, "-N", "15",
+                         "-S", "7", "--mean-size", "400",
+                         "--sd-size", "20", "-l", "150"]) == 0
+        assert assign_main([db_prefix, fwd, rev, "-o", out,
+                            "-S", "0"]) == 0
+        hits = total = 0
+        for line in open(out):
+            if line.startswith("#") or line.startswith("id\t"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            m = re.search(r"branchID=(\d+)->(\d+)", f[1])
+            total += 1
+            tb = {m.group(1), m.group(2)}
+            pb = set(f[10].split("->")) if "->" in f[10] else set()
+            hits += bool(tb & pb)
+        assert total >= 10  # some reads may be flagged chimera
+        assert hits >= int(0.7 * total)
+
+
+class TestPseudoTree:
+    def test_add_pseudo_leaf(self, db_prefix):
+        from hmmufotu_tpu.db import Database
+        tree = Database.load(db_prefix).ptu
+        internal = [u for u in range(tree.num_nodes)
+                    if not tree.is_leaf(u) and tree.parent[u] >= 0][:3]
+        n0 = tree.num_nodes
+        added = tree.add_pseudo_leaf(set(internal))
+        assert added == 6
+        assert tree.num_nodes == n0 + 6
+        for u in internal:
+            # the OTU id now names a 0-length leaf
+            assert tree.is_leaf(u)
+            assert tree.brlen[u] == 0
+            r = int(tree.parent[u])
+            assert r >= n0
+            # r holds the old branch and sits where u did
+            assert len(tree.children_of(r)) == 2
+        s = tree.to_newick()
+        assert s.count("(") == s.count(")")
