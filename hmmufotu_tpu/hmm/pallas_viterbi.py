@@ -7,15 +7,18 @@ DP state resident in VMEM:
 
   * M/I recurrences: elementwise over the [8, KP] lane tile;
   * the within-row D chain as an in-register Hillis-Steele min-plus
-    doubling scan (log2(KP) shifted-min steps);
+    doubling scan (log2(KP) rolled-min steps);
   * banding via region scalars (same semantics as
     viterbi.banded_regions);
   * per-row S minima tracked in the loop carry with the reference's
-    column-major tie-breaking.
+    column-major tie-breaking;
+  * 4-bit traceback choices nibble-packed 8 rows per int32 plane
+    (aligned (8,128) int32 stores + 4x smaller transfer).
 
 reference: src/BandedHMMP7.cpp:748-892 (the per-cell CPU DP).
 Numerics and choice encoding identical to viterbi.viterbi_scan — the
-two paths are cross-checked in tests.
+two paths are cross-checked in tests (choice planes may differ only
+at ulp-level cost ties from float summation order in the D chain).
 """
 
 from __future__ import annotations
@@ -32,34 +35,36 @@ from .viterbi import DeviceHMM, MAX_REGIONS, REGION_WIDTH
 
 INF = jnp.inf
 READS_PER_PROGRAM = 8
+PACK_ROWS = 8   # DP rows packed per int32 choice plane
 
 
 def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _shift_lanes(x, s, fill):
-    """x[..., j] -> x[..., j-s] with `fill` in the first s lanes."""
-    pad = jnp.full(x.shape[:-1] + (s,), fill, x.dtype)
-    return jnp.concatenate([pad, x[..., :-s]], axis=-1)
-
-
-def _viterbi_kernel(codes_ref, meta_ref, tc_ref, em_ref,
+def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
                     choices_ref, best_ref,
                     *, n_rows: int, K: int, KP: int):
     """One program = READS_PER_PROGRAM reads, full row loop.
 
-    meta_ref [R, 128] int32: col 0 = read length, cols 8..8+40 =
-    flattened region scalars.
+    codes_s: scalar-prefetch [B, n_rows] int32 read bases
+    scal_s:  scalar-prefetch [8] f32 special costs
+             (t_NN, t_NB, t_CC, t_EC, Tmat_cost[K](I,M))
+    meta_ref [R, 128] int32: col 0 = read length, cols 8.. = regions
+    tc_ref [16, KP] f32 packed transition costs, em_ref [8, KP] f32
     """
     R = READS_PER_PROGRAM
+    prog = pl.program_id(0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (R, KP), 1)
     lane_valid = jj <= K
 
-    # transition cost rows (packed in tc_ref [16, KP]):
-    # 0 TMM_sh 1 TIM_sh 2 TDM_sh 3 TMD_sh 4 TDD_sh 5 TMI 6 TII
-    # 7 entry 8 exit
-    # scalars packed in tc_ref[9]: 0 t_NN 1 t_NB 2 t_CC 3 t_EC 4 tIMK
+    def shift_lanes(x, s, fill):
+        """x[..., j] -> x[..., j-s], `fill` in the first s lanes."""
+        rolled = pltpu.roll(x, s, 1)
+        return jnp.where(jj < s, fill, rolled)
+
+    # rows of tc_ref: 0 TMM_sh 1 TIM_sh 2 TDM_sh 3 TMD_sh 4 TDD_sh
+    # 5 TMI 6 TII 7 entry 8 exit
     TMM_sh = tc_ref[0:1, :]
     TIM_sh = tc_ref[1:2, :]
     TDM_sh = tc_ref[2:3, :]
@@ -69,13 +74,14 @@ def _viterbi_kernel(codes_ref, meta_ref, tc_ref, em_ref,
     TII = tc_ref[6:7, :]
     entry_c = tc_ref[7:8, :]
     exit_c = tc_ref[8:9, :]
-    t_NN = tc_ref[9, 0]
-    t_NB = tc_ref[9, 1]
-    t_CC = tc_ref[9, 2]
-    t_EC = tc_ref[9, 3]
-    tIMK = tc_ref[9, 4]
+    t_NN = scal_s[0]
+    t_NB = scal_s[1]
+    t_CC = scal_s[2]
+    t_EC = scal_s[3]
+    tIMK = scal_s[4]
 
     d_invalid = (jj <= 1) | (jj >= K)
+    is_lane_k = jj == K
 
     lengths = meta_ref[:, 0:1]                      # [R, 1] int32
 
@@ -104,15 +110,17 @@ def _viterbi_kernel(codes_ref, meta_ref, tc_ref, em_ref,
         return allowed, entry_ok
 
     def body(i, carry):
-        Mp, Ip, Dp, best, best_i, best_j = carry
-        b = codes_ref[:, pl.ds(i - 1, 1)]           # [R, 1] int32
-        # emission rows by per-read base (4-way select)
-        em = jnp.zeros((R, KP), jnp.float32)
-        ei = jnp.zeros((R, KP), jnp.float32)
-        for base in range(4):
-            sel = b == base
-            em = jnp.where(sel, em_ref[base:base + 1, :], em)
-            ei = jnp.where(sel, em_ref[4 + base:5 + base, :], ei)
+        Mp, Ip, Dp, best, best_i, best_j, packbuf = carry
+        # per-read emission rows gathered by base (dynamic sublane
+        # slice driven by scalar-prefetched codes)
+        em_rows = []
+        ei_rows = []
+        for r in range(R):
+            b_r = codes_s[prog * R + r, i - 1]
+            em_rows.append(em_ref[pl.ds(b_r, 1), :])
+            ei_rows.append(em_ref[pl.ds(b_r + 4, 1), :])
+        em = jnp.concatenate(em_rows, axis=0)       # [R, KP]
+        ei = jnp.concatenate(ei_rows, axis=0)
 
         fi = i.astype(jnp.float32)
         col0 = jnp.where(i == 1, 0.0, t_NN * (fi - 1.0)) + t_NB
@@ -120,19 +128,18 @@ def _viterbi_kernel(codes_ref, meta_ref, tc_ref, em_ref,
         allowed, entry_ok = masks_for_row(i)
 
         optB = jnp.where(entry_ok, col0 + entry_c, INF)
-        optM = _shift_lanes(Mp, 1, INF) + TMM_sh
-        optI = _shift_lanes(Ip, 1, INF) + TIM_sh
-        optD = _shift_lanes(Dp, 1, INF) + TDM_sh
+        optM = shift_lanes(Mp, 1, INF) + TMM_sh
+        optI = shift_lanes(Ip, 1, INF) + TIM_sh
+        optD = shift_lanes(Dp, 1, INF) + TDM_sh
         mn = jnp.minimum(jnp.minimum(optB, optM),
                          jnp.minimum(optI, optD))
         Mn = em + mn
         # first-strict-min order B,M,I,D (whichMin, h:722-744)
         choiceM = jnp.where(
             optB <= mn, 0, jnp.where(
-                optM <= mn, 1, jnp.where(optI <= mn, 2, 3))
-        ).astype(jnp.uint8)
+                optM <= mn, 1, jnp.where(optI <= mn, 2, 3)))
         # j==1 traceback uses the B/I pair only (cpp:966-973)
-        c1 = jnp.where(optB <= optI, 0, 2).astype(jnp.uint8)
+        c1 = jnp.where(optB <= optI, 0, 2)
         choiceM = jnp.where(jj == 1, c1, choiceM)
         Mn = jnp.where(allowed, Mn, INF)
         Mn = jnp.where(jj == 0, col0, Mn)
@@ -140,32 +147,31 @@ def _viterbi_kernel(codes_ref, meta_ref, tc_ref, em_ref,
         iM = Mp + TMI
         iI = Ip + TII
         In = ei + jnp.minimum(iM, iI)
-        choiceI = (iM > iI).astype(jnp.uint8)
+        choiceI = (iM > iI).astype(jnp.int32)
         In = jnp.where(allowed, In, INF)
         In = jnp.where(jj == 0, col0, In)
         # j==0 I choice: current-row B column vs I(i-1,0)
-        ci0 = (Mn[:, 0:1] + TMI[0, 0] > Ip[:, 0:1] + TII[0, 0]) \
-            .astype(jnp.uint8)
+        ci0 = (Mn[:, 0:1] + TMI[0:1, 0:1]
+               > Ip[:, 0:1] + TII[0:1, 0:1]).astype(jnp.int32)
         choiceI = jnp.where(jj == 0, ci0, choiceI)
 
-        # D chain: x_j = min(a_j, x_{j-1} + c_j) via min-plus
-        # Hillis-Steele doubling
-        Mn_sh = _shift_lanes(Mn, 1, INF)
+        # D chain x_j = min(a_j, x_{j-1} + c_j): min-plus doubling
+        Mn_sh = shift_lanes(Mn, 1, INF)
         dmask = ~d_invalid & allowed
         a = jnp.where(dmask, Mn_sh + TMD_sh, INF)
         c = jnp.where(dmask, TDD_sh + jnp.zeros((R, KP), jnp.float32),
                       INF)
         s = 1
         while s < KP:
-            a_sh = _shift_lanes(a, s, INF)
-            c_sh = _shift_lanes(c, s, 0.0)
+            a_sh = shift_lanes(a, s, INF)
+            c_sh = shift_lanes(c, s, 0.0)
             a = jnp.minimum(a_sh + c, a)
             c = c_sh + c
             s *= 2
         Dn = jnp.where(d_invalid, INF, a)
         choiceD = (Mn_sh + TMD_sh
-                   > _shift_lanes(Dn, 1, INF) + TDD_sh) \
-            .astype(jnp.uint8)
+                   > shift_lanes(Dn, 1, INF) + TDD_sh) \
+            .astype(jnp.int32)
 
         # S row + running best (column-major tie-break)
         live = i <= lengths                         # [R, 1]
@@ -173,8 +179,10 @@ def _viterbi_kernel(codes_ref, meta_ref, tc_ref, em_ref,
         c_loops = jnp.where(i < lengths, t_CC * rem, 0.0)  # [R, 1]
         s_m = Mn + exit_c + t_EC + c_loops
         s_m = jnp.where(lane_valid & live, s_m, INF)
-        # IK exit lane encoded as j = K+1
-        s_i = In[:, K:K + 1] + tIMK + t_EC + c_loops
+        # IK exit (lane K of In) via mask-reduce, encoded as j = K+1
+        in_k = jnp.min(jnp.where(is_lane_k, In, INF), axis=1,
+                       keepdims=True)
+        s_i = in_k + tIMK + t_EC + c_loops
         s_i = jnp.where(live, s_i, INF)
 
         row_min_m = jnp.min(s_m, axis=1, keepdims=True)   # [R, 1]
@@ -189,18 +197,26 @@ def _viterbi_kernel(codes_ref, meta_ref, tc_ref, em_ref,
         best_i = jnp.where(upd, i, best_i)
         best_j = jnp.where(upd, row_j, best_j)
 
-        ch = (choiceM | (choiceI << 2) | (choiceD << 3)) \
-            .astype(jnp.uint8)
-        choices_ref[pl.ds(i - 1, 1), :, :] = ch[None]
-        return Mn, In, Dn, best, best_i, best_j
+        ch = choiceM | (choiceI << 2) | (choiceD << 3)   # int32 0..15
+        packbuf = (packbuf << 4) | ch
+
+        @pl.when(i % PACK_ROWS == 0)
+        def _():
+            choices_ref[pl.ds(i // PACK_ROWS - 1, 1), :, :] = \
+                packbuf[None]
+
+        packbuf = jnp.where(i % PACK_ROWS == 0,
+                            jnp.zeros((R, KP), jnp.int32), packbuf)
+        return Mn, In, Dn, best, best_i, best_j, packbuf
 
     init = (jnp.full((R, KP), INF, jnp.float32),
             jnp.full((R, KP), INF, jnp.float32),
             jnp.full((R, KP), INF, jnp.float32),
             jnp.full((R, 1), INF, jnp.float32),
             jnp.zeros((R, 1), jnp.int32),
-            jnp.full((R, 1), jnp.int32(2 ** 30), jnp.int32))
-    _, _, _, best, best_i, best_j = jax.lax.fori_loop(
+            jnp.full((R, 1), jnp.int32(2 ** 30), jnp.int32),
+            jnp.zeros((R, KP), jnp.int32))
+    _, _, _, best, best_i, best_j, _ = jax.lax.fori_loop(
         1, n_rows + 1, body, init)
     out = jnp.concatenate(
         [best, best_i.astype(jnp.float32),
@@ -214,9 +230,9 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
                    n_rows: int, interpret: bool = False):
     """Pallas-kernel Viterbi over a padded read batch.
 
-    Same contract as viterbi.viterbi_scan: returns
-    (min_score [B], min_i [B], min_j [B],
-     choices [n_rows, B, K+1] uint8).
+    Returns (min_score [B], min_i [B], min_j [B],
+             packed_choices [n_rows/8, B, KP] int32) — decode with
+    unpack_nibble_choices.  n_rows must be a multiple of 8.
     """
     B = codes.shape[0]
     K = dh.K
@@ -224,6 +240,9 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
     R = READS_PER_PROGRAM
     if B % R:
         raise ValueError(f"batch {B} must be a multiple of {R}")
+    if n_rows % PACK_ROWS:
+        raise ValueError(f"n_rows {n_rows} must be a multiple of "
+                         f"{PACK_ROWS}")
 
     def padded(v, fill=np.inf):
         out = jnp.full((KP,), fill, jnp.float32)
@@ -233,59 +252,75 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
         return jnp.concatenate(
             [jnp.full((1,), INF, jnp.float32), v[:-1]])
 
-    scal_row = jnp.zeros((KP,), jnp.float32)
-    scal_row = scal_row.at[0].set(dh.t_NN.astype(jnp.float32))
-    scal_row = scal_row.at[1].set(dh.t_NB.astype(jnp.float32))
-    scal_row = scal_row.at[2].set(dh.t_CC.astype(jnp.float32))
-    scal_row = scal_row.at[3].set(dh.t_EC.astype(jnp.float32))
-    scal_row = scal_row.at[4].set(dh.TIM[K].astype(jnp.float32))
     zero_row = jnp.zeros((KP,), jnp.float32)
     tc = jnp.stack([
         padded(shift1(dh.TMM)), padded(shift1(dh.TIM)),
         padded(shift1(dh.TDM)), padded(shift1(dh.TMD)),
         padded(shift1(dh.TDD)), padded(dh.TMI), padded(dh.TII),
-        padded(dh.entry), padded(dh.exit), scal_row,
+        padded(dh.entry), padded(dh.exit), zero_row,
         zero_row, zero_row, zero_row, zero_row, zero_row, zero_row,
     ])                                              # [16, KP]
     em = jnp.concatenate([
         jnp.stack([padded(dh.EM[b]) for b in range(4)]),
         jnp.stack([padded(dh.EI[b]) for b in range(4)]),
     ])                                              # [8, KP]
+    scal = jnp.stack([
+        dh.t_NN.astype(jnp.float32), dh.t_NB.astype(jnp.float32),
+        dh.t_CC.astype(jnp.float32), dh.t_EC.astype(jnp.float32),
+        dh.TIM[K].astype(jnp.float32),
+        jnp.zeros((), jnp.float32), jnp.zeros((), jnp.float32),
+        jnp.zeros((), jnp.float32)])                # [8] f32
 
     meta = jnp.zeros((B, 128), jnp.int32)
     meta = meta.at[:, 0].set(lengths.astype(jnp.int32))
     meta = meta.at[:, 8:8 + MAX_REGIONS * REGION_WIDTH].set(
         regions.reshape(B, -1).astype(jnp.int32))
-    codes_i = codes.astype(jnp.int32)
+    codes_i = jnp.clip(codes.astype(jnp.int32), 0, 3)
 
-    grid = (B // R,)
-    choices, best = pl.pallas_call(
-        partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP),
-        grid=grid,
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B // R,),
         in_specs=[
-            pl.BlockSpec((R, n_rows), lambda p: (p, 0),
+            pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda p: (p, 0),
+            pl.BlockSpec((16, KP), lambda p, cs, ss: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, KP), lambda p: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, KP), lambda p: (0, 0),
+            pl.BlockSpec((8, KP), lambda p, cs, ss: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((n_rows, R, KP), lambda p: (0, p, 0),
+            pl.BlockSpec((n_rows // PACK_ROWS, R, KP),
+                         lambda p, cs, ss: (0, p, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda p: (p, 0),
+            pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
                          memory_space=pltpu.VMEM),
         ],
+    )
+    packed, best = pl.pallas_call(
+        partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP),
+        grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((n_rows, B, KP), jnp.uint8),
+            jax.ShapeDtypeStruct((n_rows // PACK_ROWS, B, KP),
+                                 jnp.int32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
         ],
         interpret=interpret,
-    )(codes_i, meta, tc, em)
+    )(codes_i, scal, meta, tc, em)
 
     score = best[:, 0]
     min_i = best[:, 1].astype(jnp.int32)
     min_j = best[:, 2].astype(jnp.int32)
-    return score, min_i, min_j, choices[:, :, : K + 1]
+    return score, min_i, min_j, packed
+
+
+def unpack_nibble_choices(packed: np.ndarray, n_rows: int,
+                          lanes: int) -> np.ndarray:
+    """Decode [n_rows/8, B, KP] int32 nibble planes to
+    [n_rows, B, lanes] uint8 choice planes (row g*8+r lives in nibble
+    7-r of plane g)."""
+    G, B, KP = packed.shape
+    out = np.empty((G, PACK_ROWS, B, KP), dtype=np.uint8)
+    for r in range(PACK_ROWS):
+        shift = 4 * (PACK_ROWS - 1 - r)
+        out[:, r] = ((packed >> shift) & 0xF).astype(np.uint8)
+    return out.reshape(G * PACK_ROWS, B, KP)[:n_rows, :, :lanes]

@@ -423,6 +423,8 @@ class ViterbiAligner:
             vpaths_per_read = list(vpaths_per_read) \
                 + [None] * (B - B0)
         n_rows = max_len or max(len(s) for s in seqs)
+        if self.kernel == "pallas":
+            n_rows = (n_rows + 7) // 8 * 8
         codes = np.zeros((B, n_rows), dtype=np.int8)
         lengths = np.zeros(B, dtype=np.int32)
         regions = np.zeros((B, MAX_REGIONS, REGION_WIDTH), dtype=np.int32)
@@ -460,6 +462,22 @@ class ViterbiAligner:
             score_h = np.asarray(score)
 
         alns: list[HmmAlignment] = []
+        if self.kernel == "pallas":
+            from .pallas_viterbi import unpack_nibble_choices
+            ch = unpack_nibble_choices(np.asarray(choices), n_rows,
+                                       hmm.K + 1)
+            mi_h = np.asarray(mi)
+            mj_h = np.asarray(mj)
+            for r in range(B):
+                if not np.isfinite(score_h[r]):
+                    alns.append(HmmAlignment())
+                    continue
+                trace, a_start, a_end, a_from, a_to = traceback(
+                    ch[:, r], int(mi_h[r]), int(mj_h[r]), hmm.K)
+                alns.append(build_global_align(
+                    hmm, seqs[r], trace, a_start, a_end, a_from,
+                    a_to, float(score_h[r])))
+            return alns[:B0]
         if self.traceback_mode == "device":
             # ship [B, steps] state codes, not the full choice planes
             max_steps = n_rows + hmm.K + 2

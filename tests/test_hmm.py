@@ -274,9 +274,12 @@ class TestPallasKernel:
         s1, i1, j1, c1 = viterbi_scan(
             al.dh, jnp.asarray(codes), jnp.asarray(lengths),
             jnp.asarray(regions), n_rows)
-        s2, i2, j2, c2 = viterbi_pallas(
+        from hmmufotu_tpu.hmm.pallas_viterbi import \
+            unpack_nibble_choices
+        s2, i2, j2, pk = viterbi_pallas(
             al.dh, jnp.asarray(codes), jnp.asarray(lengths),
             jnp.asarray(regions), n_rows, interpret=True)
+        c2 = unpack_nibble_choices(np.asarray(pk), n_rows, hmm.K + 1)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2),
                                    rtol=1e-6)
         np.testing.assert_array_equal(np.asarray(i1), np.asarray(i2))
