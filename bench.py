@@ -111,8 +111,12 @@ def main():
             best = pl.assign_batch_device(tree, placer, alns)
         return sum(b is not None for b in best)
 
-    # warmup (jit compile)
-    assign_batch(reads[:2])
+    # warmup with a FULL-SIZE batch: jit specializes on batch shape,
+    # so a smaller warmup would leak compile time into the timed loop
+    assign_batch(reads[:BATCH])
+    if verbose:
+        for k in stage_t:
+            stage_t[k] = 0.0
 
     t0 = time.time()
     n_done = 0

@@ -181,6 +181,13 @@ def main(argv=None) -> int:
         log.error("Unmatched number of forward/reverse reads")
         return 1
 
+    # device placer for the batched SEP fast path (chimera checking
+    # still uses the host path per segment)
+    placer = None
+    if not args.align_only:
+        from ..phylo.placement import DevicePlacer
+        placer = DevicePlacer(tree, max_nseed=args.max_nseed)
+
     strand = args.strand
     if strand == 0:
         strand = detect_strand(aligner, csfm,
@@ -220,20 +227,35 @@ def main(argv=None) -> int:
             rev_alns = pl.align_reads(aligner, csfm, mates,
                                       args.seed_len, args.seed_region,
                                       mode, rng)
-        for read, aln, rev_aln in zip(batch, alns, rev_alns):
-            is_chimera = False
+        # orientation / merge pass
+        chim_flags = [False] * len(batch)
+        for t, (read, aln, rev_aln) in enumerate(
+                zip(batch, alns, rev_alns)):
             if paired and rev_aln is not None:
                 if not args.ignore_orient and not (
                         aln.cs_start <= rev_aln.cs_start
                         and aln.cs_end <= rev_aln.cs_end):
                     log.warning("Bad orientation of fwd/rev read %s, "
                                 "treating as chimera", read.id)
-                    is_chimera = True
+                    chim_flags[t] = True
                 else:
                     aln.merge(rev_aln)
-            seq = pl.aln_to_digital(tree, aln)
+
+        # batched device placement for the non-chimera fast path
+        best_batch = [None] * len(batch)
+        if not args.align_only and not args.chimera:
+            place_alns = [HmmAlignment() if chim_flags[t] else aln
+                          for t, aln in enumerate(alns)]
+            best_batch = pl.assign_batch_device(
+                tree, placer, place_alns, args.max_diff,
+                args.max_height, args.err, args.prior, args.ml_only)
+
+        for t, (read, aln) in enumerate(zip(batch, alns)):
+            is_chimera = chim_flags[t]
+            seq = None
             seeds = []
-            if (args.chimera and not is_chimera) or not args.align_only:
+            if args.chimera and not is_chimera:
+                seq = pl.aln_to_digital(tree, aln)
                 seeds = pl.get_seed(tree, seq, aln.cs_start - 1,
                                     aln.cs_end - 1, args.max_diff,
                                     args.max_height, args.max_nseed)
@@ -263,18 +285,25 @@ def main(argv=None) -> int:
                         f";csEnd={aln.cs_end};")
                 aln_out.write(PrimarySeq(read.id, aln.align, desc))
             best = None
-            if not args.align_only and seeds:
-                places = pl.estimate_seq(tree, seq, seeds, args.method)
-                places = pl.filter_placements(places, args.err)
-                places = pl.place_seq(tree, seq, places,
-                                      args.max_height)
-                if args.ml_only:
-                    places.sort(key=lambda p: -p.loglik)
-                else:
-                    pl.calc_q_values(tree, places, args.prior)
-                    places.sort(key=lambda p: -p.q_place)
-                best = places[0]
-                n_assigned += 1
+            if not args.align_only:
+                if args.chimera and seeds:
+                    # chimera mode already has host seeds; finish the
+                    # host SEP path with them
+                    places = pl.estimate_seq(tree, seq, seeds,
+                                             args.method)
+                    places = pl.filter_placements(places, args.err)
+                    places = pl.place_seq(tree, seq, places,
+                                          args.max_height)
+                    if args.ml_only:
+                        places.sort(key=lambda p: -p.loglik)
+                    else:
+                        pl.calc_q_values(tree, places, args.prior)
+                        places.sort(key=lambda p: -p.q_place)
+                    best = places[0]
+                elif not args.chimera:
+                    best = best_batch[t]
+                if best is not None:
+                    n_assigned += 1
             out.write(f"{read.id}\t{read.desc}\t" + aln_tsv(aln)
                       + chim_str + "\t" + place_tsv(tree, best) + "\n")
         log.info("Processed %d reads", min(lo + args.batch,
