@@ -90,6 +90,8 @@ def main():
     reads = simulate_reads(tree, rng, N_READS)
 
     verbose = bool(os.environ.get("BENCH_VERBOSE"))
+    if verbose:
+        os.environ["HMMUFOTU_TIMING"] = "1"
     stage_t = {"seed": 0.0, "viterbi": 0.0, "albuild": 0.0,
                "place": 0.0}
 
@@ -117,6 +119,8 @@ def main():
     if verbose:
         for k in stage_t:
             stage_t[k] = 0.0
+        from hmmufotu_tpu.hmm.viterbi import TIMING
+        TIMING.clear()
 
     t0 = time.time()
     n_done = 0
@@ -128,6 +132,10 @@ def main():
     if verbose:
         print("stage times:", {k: round(v, 2)
                                for k, v in stage_t.items()},
+              file=sys.stderr)
+        from hmmufotu_tpu.hmm.viterbi import TIMING
+        print("align sub-stages:", {k: round(v, 2)
+                                    for k, v in TIMING.items()},
               file=sys.stderr)
     print(json.dumps({
         "metric": "assign_throughput",

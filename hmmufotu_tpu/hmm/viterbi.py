@@ -31,6 +31,8 @@ boundary cells and does not change category assignments.
 
 from __future__ import annotations
 
+import os
+import time
 from functools import partial
 from typing import NamedTuple
 
@@ -42,6 +44,16 @@ from .profile import (HmmAlignment, K_MIN_GAP_FRAC, ProfileHMM,
                       ViterbiAlignPath, build_global_align)
 
 INF = jnp.inf
+# fine-grained stage timing (enable with HMMUFOTU_TIMING=1)
+TIMING = {}
+
+
+def _tick(key, t0):
+    if os.environ.get("HMMUFOTU_TIMING"):
+        TIMING[key] = TIMING.get(key, 0.0) + (time.time() - t0)
+    return time.time()
+
+
 # region tuple layout: (j_lo, j_hi, i_lo, i_hi, entry_ok, diag, lo_d, hi_d)
 REGION_WIDTH = 8
 MAX_REGIONS = 5
@@ -438,10 +450,14 @@ class ViterbiAligner:
             else:
                 regions[r] = full_dp_regions(n_rows, hmm.K)
 
+        t = time.time()
         score, mi, mj, choices = self._run_dp(
             jnp.asarray(codes), jnp.asarray(lengths),
             jnp.asarray(regions), n_rows)
+        jax.block_until_ready(score)
+        t = _tick("dp", t)
         score_h = np.asarray(score)
+        t = _tick("scalars_dl", t)
 
         # banded failures -> full DP rerun, merged on device
         failed = np.array([not np.isfinite(score_h[r])
@@ -464,10 +480,13 @@ class ViterbiAligner:
         alns: list[HmmAlignment] = []
         if self.kernel == "pallas":
             from .pallas_viterbi import unpack_nibble_choices
-            ch = unpack_nibble_choices(np.asarray(choices), n_rows,
-                                       hmm.K + 1)
+            t = time.time()
+            packed_h = np.asarray(choices)
+            t = _tick("choices_dl", t)
+            ch = unpack_nibble_choices(packed_h, n_rows, hmm.K + 1)
             mi_h = np.asarray(mi)
             mj_h = np.asarray(mj)
+            t = _tick("unpack", t)
             for r in range(B):
                 if not np.isfinite(score_h[r]):
                     alns.append(HmmAlignment())
@@ -477,6 +496,7 @@ class ViterbiAligner:
                 alns.append(build_global_align(
                     hmm, seqs[r], trace, a_start, a_end, a_from,
                     a_to, float(score_h[r])))
+            _tick("host_trace", t)
             return alns[:B0]
         if self.traceback_mode == "device":
             # ship [B, steps] state codes, not the full choice planes

@@ -322,6 +322,11 @@ class CSFMIndex:
         from ..alphabet import get_alphabet
         idx = cls()
         with np.load(path, allow_pickle=False) as z:
+            fmt = str(z["fmt"][0]) if "fmt" in z else ""
+            if not fmt.startswith("hmmufotu-tpu-csfm-"):
+                raise ValueError(
+                    f"'{path}' is not an hmmufotu-tpu CSFM index "
+                    f"(format tag {fmt!r}); rebuild with cli.build")
             idx.abc = get_alphabet(str(z["alphabet"][0]))
             idx.gap_ch = idx.abc.gap_char
             idx.cs_len = int(z["cs_len"][0])

@@ -231,6 +231,11 @@ class MSA:
     @classmethod
     def load(cls, path: str) -> "MSA":
         with np.load(path, allow_pickle=False) as z:
+            fmt = str(z["fmt"][0]) if "fmt" in z else ""
+            if not fmt.startswith("hmmufotu-tpu-msa-"):
+                raise ValueError(
+                    f"'{path}' is not an hmmufotu-tpu MSA database "
+                    f"(format tag {fmt!r}); rebuild with cli.build")
             abc = get_alphabet(str(z["alphabet"][0]))
             msa = cls.from_arrays([str(n) for n in z["names"]], z["chars"],
                                   abc, str(z["name"][0]))

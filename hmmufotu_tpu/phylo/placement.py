@@ -51,8 +51,12 @@ class DeviceTree(NamedTuple):
     rates: jax.Array      # [K] discrete-Gamma rates (or [1.0])
 
     @classmethod
-    def from_tree(cls, tree: PTUnrooted, dtype=jnp.float32
-                  ) -> "DeviceTree":
+    def from_tree(cls, tree: PTUnrooted, dtype=jnp.float32,
+                  msg_dtype=None) -> "DeviceTree":
+        """msg_dtype overrides the storage dtype of the per-edge
+        message tensors (the HBM-dominant [N,4,L] pair — bf16 halves
+        the footprint for reference-scale trees; compute stays f32
+        after gathering)."""
         f = lambda a: jnp.asarray(a, dtype=dtype)
         rates = np.ones(1) if tree.dg is None \
             else np.asarray(tree.dg.rates)
@@ -62,8 +66,10 @@ class DeviceTree(NamedTuple):
         anno_id = np.empty(tree.num_nodes, dtype=np.int32)
         for u, a in enumerate(tree.anno):
             anno_id[u] = taxa.setdefault(a, len(taxa))
+        fm = (lambda a: jnp.asarray(a, dtype=msg_dtype)) \
+            if msg_dtype is not None else f
         return cls(
-            msg_up=f(tree.msg_up), msg_down=f(tree.msg_down),
+            msg_up=fm(tree.msg_up), msg_down=fm(tree.msg_down),
             seqs=jnp.asarray(tree.seqs, jnp.int8),
             brlen=f(tree.brlen), heights=f(tree.heights),
             parent=jnp.asarray(tree.parent, jnp.int32),
@@ -190,9 +196,9 @@ def place_batch_device(dt: DeviceTree, seqs: jax.Array,
     # mismatch counting via one-hot matmuls keeps the [B,L]x[N,L]
     # reduction on the MXU instead of a [B,N,L] broadcast
     q1h = jax.nn.one_hot(jnp.where(q_valid, seqs, 4), 5,
-                         dtype=dt.msg_up.dtype)[:, :, :4]   # [B, L, 4]
+                         dtype=dt.pi.dtype)[:, :, :4]   # [B, L, 4]
     n1h = jax.nn.one_hot(jnp.where(n_valid[0], dt.seqs, 4), 5,
-                         dtype=dt.msg_up.dtype)[:, :, :4]   # [N, L, 4]
+                         dtype=dt.pi.dtype)[:, :, :4]   # [N, L, 4]
     match = jnp.einsum("blk,nlk->bn", q1h, n1h,
                        precision=jax.lax.Precision.HIGHEST)
     both = jnp.einsum("bl,nl->bn", q1h.sum(-1), n1h.sum(-1),
@@ -217,8 +223,9 @@ def place_batch_device(dt: DeviceTree, seqs: jax.Array,
     starts_c = jnp.minimum(starts, L - W)               # [B]
     gather = jax.vmap(jax.vmap(slice_msg, in_axes=(None, 0, None)),
                       in_axes=(None, 0, 0))
-    U = gather(dt.msg_up, cand, starts_c)               # [B, C, 4, W]
-    V = gather(dt.msg_down, cand, starts_c)
+    cdtype = dt.pi.dtype
+    U = gather(dt.msg_up, cand, starts_c).astype(cdtype)  # [B, C, 4, W]
+    V = gather(dt.msg_down, cand, starts_c).astype(cdtype)
 
     # leaf message of the read in the same window
     def slice_seq(s, start):
@@ -227,7 +234,7 @@ def place_batch_device(dt: DeviceTree, seqs: jax.Array,
     rwin = jax.vmap(slice_seq)(seqs, starts_c)          # [B, W]
     obs = rwin >= 0
     base1h = jax.nn.one_hot(jnp.clip(rwin, 0, 3), 4,
-                            dtype=dt.msg_up.dtype)      # [B, W, 4]
+                            dtype=dt.pi.dtype)      # [B, W, 4]
     leaf = jnp.where(obs[:, None, :],
                      jnp.where(base1h.transpose(0, 2, 1) > 0, 0.0, -INF),
                      dt.log_pi[None, :, None])          # [B, 4, W]
@@ -359,7 +366,7 @@ def place_batch_device(dt: DeviceTree, seqs: jax.Array,
     def pick(x):
         return jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
 
-    f32 = lambda x: x.astype(dt.msg_up.dtype)
+    f32 = lambda x: x.astype(dt.pi.dtype)
     summary = jnp.stack([
         f32(pick(cand)), f32(pick(parent_c)), f32(pick(a_node)),
         pick(ratio_f), pick(wnr_f), pick(loglik), pick(q_place),
@@ -408,11 +415,12 @@ class DevicePlacer:
     """High-level batched placement wrapper around a PTUnrooted."""
 
     def __init__(self, tree: PTUnrooted, window: int = 512,
-                 max_nseed: int = 50, dtype=jnp.float32):
+                 max_nseed: int = 50, dtype=jnp.float32,
+                 msg_dtype=None):
         self.tree = tree
         self.W = min(window, tree.cs_len)
         self.C = max_nseed
-        self.dt = DeviceTree.from_tree(tree, dtype)
+        self.dt = DeviceTree.from_tree(tree, dtype, msg_dtype)
         if tree.model.name == "GTR":
             tensors = (jnp.asarray(tree.model.U, dtype),
                        jnp.asarray(tree.model.U_1, dtype),

@@ -804,6 +804,11 @@ class PTUnrooted:
         tree = cls()
         with np.load(path, allow_pickle=False) as z:
             meta = json.loads(str(z["meta"][0]))
+            if not str(meta.get("fmt", "")).startswith(
+                    "hmmufotu-tpu-ptu-"):
+                raise ValueError(
+                    f"'{path}' is not an hmmufotu-tpu PTU database "
+                    f"(format tag {meta.get('fmt')!r})")
             tree.cs_len = meta["cs_len"]
             tree.root = meta["root"]
             tree.names = list(meta["names"])
