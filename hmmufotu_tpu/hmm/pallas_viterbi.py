@@ -324,3 +324,53 @@ def unpack_nibble_choices(packed: np.ndarray, n_rows: int,
         shift = 4 * (PACK_ROWS - 1 - r)
         out[:, r] = ((packed >> shift) & 0xF).astype(np.uint8)
     return out.reshape(G * PACK_ROWS, B, KP)[:n_rows, :, :lanes]
+
+
+@partial(jax.jit, static_argnames=("K", "max_steps"))
+def traceback_device_packed(packed: jax.Array, min_i: jax.Array,
+                            min_j: jax.Array, K: int, max_steps: int):
+    """Batched traceback walking the nibble-packed choice planes on
+    device — only the [B, max_steps] state strings ship to the host
+    (same contract as viterbi.traceback_device).
+
+    packed: [G, B, KP] int32 planes from viterbi_pallas.
+    """
+    G, B, KP = packed.shape
+    flat = packed.reshape(-1)
+
+    s0 = jnp.where(min_j <= K, 1, 2).astype(jnp.int8)   # M or I
+    i0 = min_i
+    j0 = jnp.minimum(min_j, K)
+
+    def step(carry, t):
+        s, i, j, done = carry
+        live = ~done & (i >= 1) & (j >= 0)
+        emit = jnp.where(live, s, 5).astype(jnp.int8)
+        g = (i - 1) >> 3
+        shift = 4 * (7 - ((i - 1) & 7))
+        idx = g * (B * KP) + jnp.arange(B) * KP + j
+        word = jnp.take(flat, jnp.clip(idx, 0, flat.size - 1))
+        ch = (word >> shift) & 15
+        ch = jnp.where(live, ch, 0)
+        cm = (ch & 3).astype(jnp.int8)
+        ci = ((ch >> 2) & 1).astype(jnp.int8)
+        cd = ((ch >> 3) & 1).astype(jnp.int8)
+        is_m = s == 1
+        is_i = s == 2
+        is_d = s == 3
+        nxt_i = jnp.where(j > 0, jnp.where(ci == 0, 1, 2),
+                          jnp.where(ci == 0, 0, 2)).astype(jnp.int8)
+        nxt_d = jnp.where(cd == 0, 1, 3).astype(jnp.int8)
+        s_n = jnp.where(is_m, cm,
+                        jnp.where(is_i, nxt_i,
+                                  jnp.where(is_d, nxt_d, s)))
+        i_n = i - jnp.where(is_m | is_i, 1, 0)
+        j_n = j - jnp.where(is_m | is_d, 1, 0)
+        done_n = done | (live & (s == 0)) | ~live
+        return (jnp.where(live, s_n, s), jnp.where(live, i_n, i),
+                jnp.where(live, j_n, j), done_n), emit
+
+    init = (s0, i0, j0, jnp.zeros((B,), bool))
+    (s_f, i_f, j_f, _), emits = jax.lax.scan(
+        step, init, jnp.arange(max_steps))
+    return emits.T, j_f + 1, j0, i_f + 1, i0

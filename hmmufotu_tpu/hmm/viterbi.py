@@ -478,6 +478,35 @@ class ViterbiAligner:
             score_h = np.asarray(score)
 
         alns: list[HmmAlignment] = []
+        if self.kernel == "pallas" and self.traceback_mode == "device":
+            from .pallas_viterbi import traceback_device_packed
+            t = time.time()
+            max_steps = n_rows + hmm.K + 2
+            emits, a_start, a_end, a_from, a_to = \
+                traceback_device_packed(choices, mi, mj, hmm.K,
+                                        max_steps)
+            emits = np.asarray(emits)
+            a_start = np.asarray(a_start)
+            a_end = np.asarray(a_end)
+            a_from = np.asarray(a_from)
+            a_to = np.asarray(a_to)
+            t = _tick("trace_dl", t)
+            codes_str = "BMIDE"
+            for r in range(B):
+                if not np.isfinite(score_h[r]):
+                    alns.append(HmmAlignment())
+                    continue
+                path = emits[r][emits[r] != 5]
+                trace = "".join(codes_str[c] for c in path[::-1])
+                if not trace.startswith("B"):
+                    trace = "B" + trace
+                trace += "E"
+                alns.append(build_global_align(
+                    hmm, seqs[r], trace, int(a_start[r]),
+                    int(a_end[r]), int(a_from[r]), int(a_to[r]),
+                    float(score_h[r])))
+            _tick("host_build", t)
+            return alns[:B0]
         if self.kernel == "pallas":
             from .pallas_viterbi import unpack_nibble_choices
             t = time.time()

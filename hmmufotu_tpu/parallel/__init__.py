@@ -8,6 +8,7 @@ accumulators with psum collectives.
 """
 
 from .sharding import (make_mesh, sharded_assign_step,
-                       sharded_otu_accumulate)
+                       sharded_otu_accumulate, sharded_place_batch)
 
-__all__ = ["make_mesh", "sharded_assign_step", "sharded_otu_accumulate"]
+__all__ = ["make_mesh", "sharded_assign_step", "sharded_otu_accumulate",
+           "sharded_place_batch"]

@@ -90,3 +90,34 @@ def sharded_otu_accumulate(mesh: Mesh, taxon_ids: jax.Array,
 
     return jax.shard_map(acc, mesh=mesh, in_specs=P(DATA_AXIS),
                          out_specs=P())(taxon_ids)
+
+
+def sharded_place_batch(mesh: Mesh, placer, seqs, starts, ends,
+                        max_diff=jnp.inf, max_height=jnp.inf,
+                        max_error=20.0, height_prior=False,
+                        ml_only=False):
+    """Data-parallel SEP placement over the mesh: reads sharded on the
+    data axis, the DeviceTree (messages, node seqs, model tensors)
+    replicated per chip via closure capture.
+
+    Returns the packed per-read best-placement summary [B, 12]
+    (sharded over reads).  This is the real multi-chip assignment
+    step — the same place_batch_device kernel as single-chip, SPMD
+    over the batch.
+    """
+    from ..phylo.placement import place_batch_device
+
+    def step(seqs_l, starts_l, ends_l):
+        out = place_batch_device(
+            placer.dt, seqs_l, starts_l, ends_l, placer.pr_fn,
+            max_diff, max_height, max_error, placer.W, placer.C,
+            placer.n_rates, height_prior, ml_only)
+        return out["summary"]
+
+    return jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(DATA_AXIS), P(DATA_AXIS), P(DATA_AXIS)),
+        out_specs=P(DATA_AXIS))(
+            jnp.asarray(seqs, jnp.int8),
+            jnp.asarray(starts, jnp.int32),
+            jnp.asarray(ends, jnp.int32))

@@ -161,9 +161,10 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len):
         p_next = jnp.where(done | bad, p0, p)
         return p_next, it + 1, new_done
 
+    # init `done` from the data so its device-varying type matches
+    # under shard_map
     p_fin, _, _ = jax.lax.while_loop(
-        cond, body, (p_init, jnp.int32(0),
-                     jnp.zeros(p_init.shape, bool)))
+        cond, body, (p_init, jnp.int32(0), p_init < -1.0))
     w = -jnp.log1p(-p_fin)
     return jnp.minimum(w, max_len)
 

@@ -34,3 +34,42 @@ print('OTU_PSUM_OK')
 """
     res = cpu_mesh_runner(code)
     assert "OTU_PSUM_OK" in res.stdout, res.stderr
+
+
+def test_sharded_placement_matches_single(cpu_mesh_runner):
+    """The shard_map'd SEP placement must agree with the single-device
+    path on a real (fixture) tree."""
+    code = """
+import os, numpy as np, jax, jax.numpy as jnp
+from hmmufotu_tpu.msa import MSA
+from hmmufotu_tpu.phylo import PTUnrooted, parse_newick, JC69
+from hmmufotu_tpu.phylo.placement import DevicePlacer
+from hmmufotu_tpu.parallel import make_mesh, sharded_place_batch
+FIX = os.path.join("tests", "fixtures")
+msa = MSA.load_fasta(os.path.join(FIX, "70_otus.fasta")).prune()
+tree = PTUnrooted.from_newick(parse_newick(open(os.path.join(FIX, "70_otus.tree")).read()))
+tree.load_msa(msa); tree.fix_branch_length(1e-5); tree.calc_node_height()
+tree.load_annotation(os.path.join(FIX, "70_otus_taxonomy.txt"))
+tree.format_name(); tree.annotate()
+tree.model = JC69(); tree.evaluate(); tree.infer_seq()
+rng = np.random.default_rng(0)
+leaves = [u for u in range(tree.num_nodes) if tree.is_leaf(u) and tree.msa_id[u] >= 0]
+B = 16
+seqs = np.full((B, tree.cs_len), -2, np.int8)
+starts = np.zeros(B, np.int32); ends = np.zeros(B, np.int32)
+for r in range(B):
+    u = int(rng.choice(leaves)); codes = tree.seqs[u]
+    pos = np.nonzero(codes >= 0)[0]
+    st = int(rng.integers(0, max(1, len(pos)-210)))
+    w = pos[st:st+200]
+    seqs[r, w] = codes[w]; starts[r], ends[r] = w[0], w[-1]
+placer = DevicePlacer(tree, window=256, max_nseed=32)
+single = placer.place_batch(seqs, starts, ends, summary_only=True)["summary"]
+mesh = make_mesh(8)
+sharded = np.asarray(sharded_place_batch(mesh, placer, seqs, starts, ends))
+assert (single[:, 0] == sharded[:, 0]).all(), (single[:, 0], sharded[:, 0])
+np.testing.assert_allclose(single[:, 5], sharded[:, 5], rtol=1e-5)
+print('SHARDED_PLACE_OK')
+"""
+    res = cpu_mesh_runner(code)
+    assert "SHARDED_PLACE_OK" in res.stdout, res.stderr
