@@ -262,3 +262,27 @@ class TestPseudoTree:
             assert len(tree.children_of(r)) == 2
         s = tree.to_newick()
         assert s.count("(") == s.count(")")
+
+
+class TestDeterminism:
+    def test_assign_deterministic(self, db_prefix, sim_reads, tmp_path):
+        """Two runs with the same seed must produce byte-identical
+        assignments (the reference's -S reproducibility contract)."""
+        from hmmufotu_tpu.cli.assign import main as assign_main
+        out1 = str(tmp_path / "a1.tsv")
+        out2 = str(tmp_path / "a2.tsv")
+        assert assign_main([db_prefix, sim_reads, "-o", out1,
+                            "-S", "11"]) == 0
+        assert assign_main([db_prefix, sim_reads, "-o", out2,
+                            "-S", "11"]) == 0
+        body1 = [l for l in open(out1) if not l.startswith("#")]
+        body2 = [l for l in open(out2) if not l.startswith("#")]
+        assert body1 == body2
+
+    def test_sim_deterministic(self, db_prefix, tmp_path):
+        from hmmufotu_tpu.cli.sim import main as sim_main
+        o1 = str(tmp_path / "s1.fasta")
+        o2 = str(tmp_path / "s2.fasta")
+        assert sim_main([db_prefix, o1, "-N", "10", "-S", "3"]) == 0
+        assert sim_main([db_prefix, o2, "-N", "10", "-S", "3"]) == 0
+        assert open(o1).read() == open(o2).read()
