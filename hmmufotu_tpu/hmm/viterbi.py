@@ -393,17 +393,21 @@ class ViterbiAligner:
     """
 
     def __init__(self, hmm: ProfileHMM, dtype=jnp.float32,
-                 traceback_mode: str = "host",
+                 traceback_mode: str | None = None,
                  kernel: str | None = None):
         self.hmm = hmm
         self.dh = DeviceHMM.from_profile(hmm, dtype)
-        self.traceback_mode = traceback_mode
         if kernel is None:
             # the Pallas kernel is the fast path on real TPUs; the
             # XLA scan is used elsewhere (interpret mode is slow)
             kernel = "pallas" if jax.default_backend() == "tpu" \
                 else "scan"
         self.kernel = kernel
+        if traceback_mode is None:
+            # on TPU the device walk avoids downloading the choice
+            # planes entirely (the host link dominates otherwise)
+            traceback_mode = "device" if kernel == "pallas" else "host"
+        self.traceback_mode = traceback_mode
 
     def _run_dp(self, codes, lengths, regions, n_rows):
         if self.kernel == "pallas":
@@ -508,11 +512,10 @@ class ViterbiAligner:
             _tick("host_build", t)
             return alns[:B0]
         if self.kernel == "pallas":
-            from .pallas_viterbi import unpack_nibble_choices
+            from .pallas_viterbi import PACK_ROWS
             t = time.time()
             packed_h = np.asarray(choices)
             t = _tick("choices_dl", t)
-            ch = unpack_nibble_choices(packed_h, n_rows, hmm.K + 1)
             mi_h = np.asarray(mi)
             mj_h = np.asarray(mj)
             t = _tick("unpack", t)
@@ -520,8 +523,9 @@ class ViterbiAligner:
                 if not np.isfinite(score_h[r]):
                     alns.append(HmmAlignment())
                     continue
-                trace, a_start, a_end, a_from, a_to = traceback(
-                    ch[:, r], int(mi_h[r]), int(mj_h[r]), hmm.K)
+                trace, a_start, a_end, a_from, a_to = \
+                    traceback_packed(packed_h, r, int(mi_h[r]),
+                                     int(mj_h[r]), hmm.K)
                 alns.append(build_global_align(
                     hmm, seqs[r], trace, a_start, a_end, a_from,
                     a_to, float(score_h[r])))
@@ -567,3 +571,42 @@ class ViterbiAligner:
                 hmm, seqs[r], trace, a_start, a_end, a_from, a_to,
                 float(score_h[r])))
         return alns[:B0]
+
+
+def traceback_packed(packed: np.ndarray, read: int, min_i: int,
+                     min_j: int, K: int
+                     ) -> tuple[str, int, int, int, int]:
+    """Host traceback reading the nibble-packed planes directly (no
+    bulk unpack; only the ~path-length cells are touched).
+
+    packed: [n_rows/8, B, KP] int32 from viterbi_pallas.
+    """
+    s = "M" if min_j <= K else "I"
+    i = min_i
+    j = min_j if min_j <= K else K
+    aln_end, aln_to = j, i
+    trace = ["E"]
+    codes_m = "BMID"
+    plane = packed[:, read, :]
+    while i >= 1 and j >= 0:
+        trace.append(s)
+        shift = 4 * (7 - ((i - 1) & 7))
+        ch = (int(plane[(i - 1) >> 3, j]) >> shift) & 15
+        if s == "M":
+            s = codes_m[ch & 3]
+            i -= 1
+            j -= 1
+        elif s == "I":
+            c = (ch >> 2) & 1
+            s = ("MI" if j > 0 else "BI")[c]
+            i -= 1
+        elif s == "D":
+            s = "MD"[(ch >> 3) & 1]
+            j -= 1
+        else:  # B
+            break
+    aln_start = j + 1
+    aln_from = i + 1
+    if trace[-1] != "B":
+        trace.append("B")
+    return "".join(reversed(trace)), aln_start, aln_end, aln_from, aln_to
