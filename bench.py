@@ -33,8 +33,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 DB_PREFIX = os.path.join(CACHE, "70_otus")
-N_READS = 192
-BATCH = 64
+N_READS = 512
+BATCH = 256
 BASELINE_READS_PER_S = 1000.0
 
 
@@ -115,7 +115,10 @@ def main():
 
     # warmup with a FULL-SIZE batch: jit specializes on batch shape,
     # so a smaller warmup would leak compile time into the timed loop
+    print("bench: compiling (first-run jit can take minutes on the "
+          "axon tunnel)...", file=sys.stderr, flush=True)
     assign_batch(reads[:BATCH])
+    print("bench: compiled; timing...", file=sys.stderr, flush=True)
     if verbose:
         for k in stage_t:
             stage_t[k] = 0.0

@@ -81,6 +81,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--align-only", action="store_true")
     p.add_argument("-S", "--seed", type=int, default=None)
     p.add_argument("-b", "--batch", type=int, default=DEFAULT_BATCH)
+    p.add_argument("--resume", action="store_true",
+                   help="append to an existing output, skipping reads "
+                        "already assigned (restartable batches)")
+    p.add_argument("--mesh", action="store_true",
+                   help="shard placement over all local devices")
     p.add_argument("-v", action="count", default=0, dest="verbose")
     return p
 
@@ -201,12 +206,36 @@ def main(argv=None) -> int:
             for r in fwd_reads:
                 r.seq = DNA.revcom(r.seq)
 
-    out = sys.stdout if args.out == "-" else open(args.out, "w")
-    out.write(prog_header([PROG_NAME] + list(argv)))
+    # restartable batches: on --resume, skip reads already present in
+    # the output and append (the stream-processing checkpoint story;
+    # the reference has none - SURVEY.md §5)
+    done_ids = set()
+    mode_out = "w"
+    if args.resume and args.out != "-":
+        import os as _os
+        if _os.path.exists(args.out):
+            for line in open(args.out):
+                if line.startswith("#") or line.startswith("id\t"):
+                    continue
+                done_ids.add(line.split("\t", 1)[0])
+            mode_out = "a"
+            log.info("Resuming: %d reads already assigned",
+                     len(done_ids))
+    if done_ids:
+        keep = [t for t, r in enumerate(fwd_reads)
+                if r.id not in done_ids]
+        fwd_reads = [fwd_reads[t] for t in keep]
+        if paired:
+            rev_reads = [rev_reads[t] for t in keep]
+
+    out = sys.stdout if args.out == "-" else open(args.out, mode_out)
+    if mode_out == "w":
+        out.write(prog_header([PROG_NAME] + list(argv)))
     chim_cols = ("\t" + CHIMERA_TSV_HEADER + "\t") if args.chimera \
         else "\t"
-    out.write("id\tdescription\t" + ALN_TSV_HEADER + chim_cols
-              + PLACEMENT_TSV_HEADER + "\n")
+    if mode_out == "w":
+        out.write("id\tdescription\t" + ALN_TSV_HEADER + chim_cols
+                  + PLACEMENT_TSV_HEADER + "\n")
     chi_out = open(args.chimera_out, "w") if args.chimera_out else None
     if chi_out:
         chi_out.write(prog_header([PROG_NAME] + list(argv)))
@@ -306,6 +335,7 @@ def main(argv=None) -> int:
                     n_assigned += 1
             out.write(f"{read.id}\t{read.desc}\t" + aln_tsv(aln)
                       + chim_str + "\t" + place_tsv(tree, best) + "\n")
+        out.flush()
         log.info("Processed %d reads", min(lo + args.batch,
                                            len(fwd_reads)))
 

@@ -286,3 +286,27 @@ class TestDeterminism:
         assert sim_main([db_prefix, o1, "-N", "10", "-S", "3"]) == 0
         assert sim_main([db_prefix, o2, "-N", "10", "-S", "3"]) == 0
         assert open(o1).read() == open(o2).read()
+
+
+class TestResume:
+    def test_assign_resume_appends(self, db_prefix, sim_reads,
+                                   tmp_path):
+        from hmmufotu_tpu.cli.assign import main as assign_main
+        full = str(tmp_path / "full.tsv")
+        part = str(tmp_path / "part.tsv")
+        assert assign_main([db_prefix, sim_reads, "-o", full,
+                            "-S", "5"]) == 0
+        # build a partial output: first 10 body rows only
+        lines = open(full).readlines()
+        head = [l for l in lines if l.startswith("#")
+                or l.startswith("id\t")]
+        body = [l for l in lines if l not in head]
+        with open(part, "w") as fh:
+            fh.writelines(head + body[:10])
+        assert assign_main([db_prefix, sim_reads, "-o", part,
+                            "-S", "5", "--resume"]) == 0
+        got = sorted(l.split("\t")[0] for l in open(part)
+                     if not l.startswith("#")
+                     and not l.startswith("id\t"))
+        want = sorted(l.split("\t")[0] for l in body)
+        assert got == want
