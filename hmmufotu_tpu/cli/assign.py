@@ -189,9 +189,16 @@ def main(argv=None) -> int:
     # device placer for the batched SEP fast path (chimera checking
     # still uses the host path per segment)
     placer = None
+    mesh = None
     if not args.align_only:
         from ..phylo.placement import DevicePlacer
         placer = DevicePlacer(tree, max_nseed=args.max_nseed)
+        if args.mesh:
+            import jax
+            from ..parallel import make_mesh
+            mesh = make_mesh()
+            log.info("Sharding placement over %d devices",
+                     mesh.devices.size)
 
     strand = args.strand
     if strand == 0:
@@ -277,7 +284,8 @@ def main(argv=None) -> int:
                           for t, aln in enumerate(alns)]
             best_batch = pl.assign_batch_device(
                 tree, placer, place_alns, args.max_diff,
-                args.max_height, args.err, args.prior, args.ml_only)
+                args.max_height, args.err, args.prior, args.ml_only,
+                mesh=mesh)
 
         for t, (read, aln) in enumerate(zip(batch, alns)):
             is_chimera = chim_flags[t]

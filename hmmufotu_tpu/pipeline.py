@@ -324,7 +324,8 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
                         max_height: float = math.inf,
                         max_error: float = DEFAULT_MAX_PLACE_ERROR,
                         prior_type: str = "uniform",
-                        ml_only: bool = False):
+                        ml_only: bool = False,
+                        mesh=None):
     """Batched SEP placement of aligned reads through the device placer
     (hmmufotu_tpu.phylo.placement.DevicePlacer); returns the best
     PTPlacement per read (None for invalid alignments).
@@ -346,11 +347,29 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
         seqs[r] = aln_to_digital(tree, aln)
         starts[r] = aln.cs_start - 1
         ends[r] = aln.cs_end - 1
-    out = placer.place_batch(seqs, starts, ends, max_diff, max_height,
-                             max_error,
-                             height_prior=(prior_type == "height"),
-                             ml_only=ml_only, summary_only=True)
-    s = out["summary"]
+    if mesh is not None:
+        # data-parallel placement over the mesh (reads sharded,
+        # DeviceTree replicated); pad the batch to the shard multiple
+        from .parallel import sharded_place_batch
+        n_dev = mesh.devices.size
+        Bp = (B + n_dev - 1) // n_dev * n_dev
+        if Bp != B:
+            seqs = np.concatenate(
+                [seqs, np.full((Bp - B, L), -2, np.int8)])
+            starts = np.concatenate(
+                [starts, np.zeros(Bp - B, np.int32)])
+            ends = np.concatenate(
+                [ends, np.zeros(Bp - B, np.int32)])
+        ends = np.minimum(ends, starts + placer.W - 1)
+        s = np.asarray(sharded_place_batch(
+            mesh, placer, seqs, starts, ends, max_diff, max_height,
+            max_error, prior_type == "height", ml_only))[:B]
+    else:
+        out = placer.place_batch(seqs, starts, ends, max_diff,
+                                 max_height, max_error,
+                                 height_prior=(prior_type == "height"),
+                                 ml_only=ml_only, summary_only=True)
+        s = out["summary"]
 
     results: list[PTPlacement | None] = []
     for r in range(B):

@@ -73,3 +73,32 @@ print('SHARDED_PLACE_OK')
 """
     res = cpu_mesh_runner(code)
     assert "SHARDED_PLACE_OK" in res.stdout, res.stderr
+
+
+def test_assign_cli_mesh(cpu_mesh_runner, tmp_path):
+    """assign --mesh end-to-end on the 8-device CPU mesh."""
+    code = f"""
+import os
+os.makedirs("{tmp_path}", exist_ok=True)
+from hmmufotu_tpu.cli.build import main as build_main
+from hmmufotu_tpu.cli.sim import main as sim_main
+from hmmufotu_tpu.cli.assign import main as assign_main
+db = "{tmp_path}/db"
+assert build_main(["tests/fixtures/70_otus.fasta",
+                   "tests/fixtures/70_otus.tree",
+                   "-a", "tests/fixtures/70_otus_taxonomy.txt",
+                   "-n", db, "-s", "JC69"]) == 0
+assert sim_main([db, "{tmp_path}/r.fasta", "-N", "12", "-S", "0",
+                 "--mean-size", "250", "--sd-size", "10"]) == 0
+assert assign_main([db, "{tmp_path}/r.fasta",
+                    "-o", "{tmp_path}/a.tsv", "-S", "0",
+                    "--mesh"]) == 0
+rows = [l for l in open("{tmp_path}/a.tsv")
+        if not l.startswith('#') and not l.startswith('id\\t')]
+assert len(rows) == 12
+assigned = sum(1 for l in rows if l.split('\\t')[10] != 'NULL')
+assert assigned >= 10, assigned
+print('MESH_ASSIGN_OK')
+"""
+    res = cpu_mesh_runner(code, timeout=400)
+    assert "MESH_ASSIGN_OK" in res.stdout, res.stderr
