@@ -47,11 +47,24 @@ class CSLoc:
 
 
 def suffix_array(s: np.ndarray) -> np.ndarray:
-    """Suffix array by prefix doubling (O(n log n) numpy sorts).
+    """Suffix array of an int8/int32 symbol array.
 
-    Functional replacement for divsufsort()
-    (reference src/libdivsufsort/include/divsufsort.h:76).
+    Functional replacement for divsufsort() (reference
+    src/libdivsufsort/include/divsufsort.h:76).  Uses the native C++
+    SA-IS builder (sais.cpp, O(n)) when a compiler is available,
+    falling back to numpy prefix doubling (O(n log n) sorts).
     """
+    from ._native import get_sais
+    sais = get_sais()
+    if sais is not None and len(s) > 0:
+        # shift symbols to 1..K (SA-IS reserves 0 for its sentinel)
+        t = np.asarray(s, dtype=np.int32) + 1
+        return sais(t, int(t.max())).astype(np.int64)
+    return _suffix_array_doubling(s)
+
+
+def _suffix_array_doubling(s: np.ndarray) -> np.ndarray:
+    """numpy prefix-doubling fallback."""
     n = len(s)
     rank = s.astype(np.int64)
     k = 1

@@ -287,3 +287,23 @@ class TestPallasKernel:
         # choice planes may differ only at ulp-level cost ties
         mismatch = (np.asarray(c1) != np.asarray(c2)).mean()
         assert mismatch < 1e-4
+
+
+class TestNativeSAIS:
+    def test_native_matches_doubling(self):
+        from hmmufotu_tpu.index._native import get_sais
+        from hmmufotu_tpu.index.csfm import _suffix_array_doubling
+        sais = get_sais()
+        assert sais is not None, "native sais should build here"
+        rng = np.random.default_rng(1)
+        for n in (1, 2, 7, 100, 5000):
+            s = rng.integers(0, 5, size=n).astype(np.int8)
+            want = _suffix_array_doubling(s)
+            got = sais(s.astype(np.int32) + 1, 5).astype(np.int64)
+            np.testing.assert_array_equal(got, want)
+        # with embedded zeros and runs (the CSFM concat shape)
+        s = np.array([1, 2, 3, 0, 1, 2, 3, 0, 2, 2, 2, 0, 0],
+                     dtype=np.int8)
+        np.testing.assert_array_equal(
+            sais(s.astype(np.int32) + 1, 4).astype(np.int64),
+            _suffix_array_doubling(s))
