@@ -120,18 +120,13 @@ def main(argv=None) -> int:
         cum = pr.cumsum(axis=0)
         draws = (rng.random(w)[None, :] < cum).argmax(axis=0)
 
-        chars = []
+        bases = np.frombuffer(b"ACGT", dtype=np.uint8)[draws]
         if args.keep_gap:
-            chars.append(PAD_SYM * start)
-        for t in range(w):
-            if gaps[t]:
-                if args.keep_gap:
-                    chars.append(GAP_SYM)
-            else:
-                chars.append("ACGT"[draws[t]])
-        if args.keep_gap:
-            chars.append(PAD_SYM * (cs_len - 1 - end))
-        seq = "".join(chars)
+            body = np.where(gaps, np.uint8(ord(GAP_SYM)), bases)
+            seq = (PAD_SYM * start + body.tobytes().decode()
+                   + PAD_SYM * (cs_len - 1 - end))
+        else:
+            seq = bases[~gaps].tobytes().decode()
 
         rid = f"{args.prefix}{n}"
         taxon_id = u if rc <= 0.5 else p

@@ -111,12 +111,16 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
 
     def body(i, carry):
         Mp, Ip, Dp, best, best_i, best_j, packbuf = carry
-        # per-read emission rows gathered by base (dynamic sublane
-        # slice driven by scalar-prefetched codes)
+        # per-read emission rows gathered by base; codes are packed
+        # 16 bases per int32 word in SMEM (2 bits each) to stay under
+        # the 1MB SMEM cap at large batch sizes
         em_rows = []
         ei_rows = []
+        word_i = (i - 1) >> 4
+        shift_i = 2 * ((i - 1) & 15)
         for r in range(R):
-            b_r = codes_s[prog * R + r, i - 1]
+            w_r = codes_s[prog * R + r, word_i]
+            b_r = (w_r >> shift_i) & 3
             em_rows.append(em_ref[pl.ds(b_r, 1), :])
             ei_rows.append(em_ref[pl.ds(b_r + 4, 1), :])
         em = jnp.concatenate(em_rows, axis=0)       # [R, KP]
@@ -275,7 +279,14 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
     meta = meta.at[:, 0].set(lengths.astype(jnp.int32))
     meta = meta.at[:, 8:8 + MAX_REGIONS * REGION_WIDTH].set(
         regions.reshape(B, -1).astype(jnp.int32))
-    codes_i = jnp.clip(codes.astype(jnp.int32), 0, 3)
+    # pack bases 2-bit x 16 per int32 word (SMEM budget)
+    nw = _round_up(n_rows, 16) // 16
+    cpad = jnp.zeros((B, nw * 16), jnp.int32)
+    cpad = cpad.at[:, :n_rows].set(
+        jnp.clip(codes.astype(jnp.int32), 0, 3))
+    shifts = (2 * (jnp.arange(16, dtype=jnp.int32)))[None, None, :]
+    codes_i = (cpad.reshape(B, nw, 16) << shifts).sum(axis=2) \
+        .astype(jnp.int32)
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
