@@ -310,3 +310,63 @@ class TestResume:
                      and not l.startswith("id\t"))
         want = sorted(l.split("\t")[0] for l in body)
         assert got == want
+
+
+class TestDGammaPE:
+    """BASELINE config #2: GTR + discrete-Gamma-4 DB, paired-end
+    reads, jplace output."""
+
+    @pytest.fixture(scope="class")
+    def dg_db(self, tmp_path_factory):
+        d = tmp_path_factory.mktemp("dgdb")
+        prefix = str(d / "70_otus_dg")
+        from hmmufotu_tpu.cli.build import main as build_main
+        rc = build_main([
+            os.path.join(FIXTURES, "70_otus.fasta"),
+            os.path.join(FIXTURES, "70_otus.tree"),
+            "-a", os.path.join(FIXTURES, "70_otus_taxonomy.txt"),
+            "-n", prefix, "-s", "GTR", "-V", "-k", "4",
+        ])
+        assert rc == 0
+        return prefix
+
+    def test_dg_model_saved(self, dg_db):
+        from hmmufotu_tpu.db import Database
+        tree = Database.load(dg_db).ptu
+        assert tree.dg is not None
+        assert tree.dg.k == 4
+        assert tree.dg.alpha > 0
+
+    def test_pe_assign_jplace(self, dg_db, tmp_path):
+        from hmmufotu_tpu.cli.sim import main as sim_main
+        from hmmufotu_tpu.cli.assign import main as assign_main
+        from hmmufotu_tpu.cli.jplace import main as jplace_main
+        fwd = str(tmp_path / "pe_1.fasta")
+        rev = str(tmp_path / "pe_2.fasta")
+        out = str(tmp_path / "a.tsv")
+        jp = str(tmp_path / "a.jplace")
+        assert sim_main([dg_db, fwd, "-m", rev, "-N", "12", "-S", "2",
+                         "--mean-size", "400", "--sd-size", "20",
+                         "-l", "150"]) == 0
+        assert assign_main([dg_db, fwd, rev, "-o", out,
+                            "-S", "0"]) == 0
+        assert jplace_main([dg_db, out, "-o", jp, "--sm"]) == 0
+        doc = json.load(open(jp))
+        assert doc["metadata"]["substitution_model"] == "GTR"
+        assert doc["metadata"]["among_site_rate_variation"] \
+            == "Discrete Gamma model"
+        assert len(doc["placements"]) >= 8
+        # accuracy vs sim truth
+        hits = total = 0
+        for line in open(out):
+            if line.startswith("#") or line.startswith("id\t"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            m = re.search(r"branchID=(\d+)->(\d+)", f[1])
+            if f[10] == "NULL":
+                continue
+            total += 1
+            hits += bool({m.group(1), m.group(2)}
+                         & set(f[10].split("->")))
+        assert total >= 8
+        assert hits >= int(0.7 * total)
