@@ -75,8 +75,11 @@ def batch_find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex,
     B = len(reads)
     out: list[list[ViterbiAlignPath]] = [[] for _ in range(B)]
 
+    # encode each read once; k-mer windows are sliding views
+    enc_reads = [csfm._encode(read) for read in reads]
+
     def run_side(five_prime: bool):
-        pats, owner, offs = [], [], []
+        windows, owner, offs = [], [], []
         for r, read in enumerate(reads):
             n = len(read)
             region = min(seed_region, n)
@@ -86,20 +89,24 @@ def batch_find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex,
                 if out[r] and n < 2 * region:
                     continue
                 rng_off = range(n - seed_len, n - region - 1, -1)
+            if n < seed_len:
+                continue
+            view = np.lib.stride_tricks.sliding_window_view(
+                enc_reads[r], seed_len)
             for frm in rng_off:
                 if frm < 0:
                     continue
-                pats.append(read[frm:frm + seed_len])
+                windows.append(view[frm])
                 owner.append(r)
                 offs.append(frm)
-        if not pats:
+        if not windows:
             return
-        enc = np.stack([csfm._encode(p) for p in pats])
+        enc = np.stack(windows)
         s, e = csfm._backward_search(enc)
         hit = s <= e
         # first hit per read (windows were emitted in scan order)
         chosen: dict[int, int] = {}
-        for k in range(len(pats)):
+        for k in range(len(owner)):
             r = owner[k]
             if hit[k] and r not in chosen:
                 chosen[r] = k
@@ -113,7 +120,8 @@ def batch_find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex,
         starts = csfm._access_sa(rows)
         for t, k in enumerate(ks):
             r = owner[k]
-            loc = csfm._cs_loc(int(starts[t]), pats[k])
+            pat = reads[r][offs[k]:offs[k] + seed_len]
+            loc = csfm._cs_loc(int(starts[t]), pat)
             vp = hmm.build_align_path(loc, offs[k] + 1,
                                       offs[k] + seed_len)
             if vp.is_valid():

@@ -370,3 +370,46 @@ class TestDGammaPE:
                          & set(f[10].split("->")))
         assert total >= 8
         assert hits >= int(0.7 * total)
+
+
+class TestChimera:
+    def test_chimera_detection(self, db_prefix, tmp_path):
+        """A synthetic chimera (5' of one distant taxon + 3' of
+        another) should be flagged; clean reads should not."""
+        from hmmufotu_tpu.db import Database
+        from hmmufotu_tpu.cli.assign import main as assign_main
+        tree = Database.load(db_prefix).ptu
+        rng = np.random.default_rng(4)
+        leaves = [u for u in range(tree.num_nodes)
+                  if tree.is_leaf(u) and tree.msa_id[u] >= 0]
+        # pick two distant leaves (different kingdoms if possible)
+        arch = [u for u in leaves if tree.anno[u].startswith("k__Arch")]
+        bact = [u for u in leaves if tree.anno[u].startswith("k__Bact")]
+        u5, u3 = arch[0], bact[0]
+
+        def ungapped(u, lo, n):
+            codes = tree.seqs[u]
+            pos = np.nonzero(codes >= 0)[0]
+            return "".join("ACGT"[c] for c in codes[pos[lo:lo + n]])
+
+        chimera = ungapped(u5, 10, 120) + ungapped(u3, 600, 120)
+        clean = ungapped(u3, 400, 240)
+        reads = str(tmp_path / "chim.fasta")
+        with open(reads, "w") as fh:
+            fh.write(f">chimera\n{chimera}\n>clean\n{clean}\n")
+        out = str(tmp_path / "chim.tsv")
+        chi = str(tmp_path / "chim_only.tsv")
+        assert assign_main([db_prefix, reads, "-o", out, "-C",
+                            "--chimera-out", chi, "-S", "0",
+                            "-s", "1"]) == 0
+        body = {l.split("\t")[0]: l for l in open(out)
+                if not l.startswith("#") and not l.startswith("id\t")}
+        chim_rows = {l.split("\t")[0] for l in open(chi)
+                     if not l.startswith("#")
+                     and not l.startswith("id\t")}
+        # the clean read must be assigned in the main output
+        assert "clean" in body
+        assert body["clean"].split("\t")[10] != "NULL"
+        # the chimera must be flagged (diverted to the chimera output)
+        assert "chimera" in chim_rows
+        assert "chimera" not in body
