@@ -127,8 +127,15 @@ def main():
 
     t0 = time.time()
     n_done = 0
-    for lo in range(0, len(reads), BATCH):
-        n_done += assign_batch(reads[lo:lo + BATCH])
+    if verbose:
+        for lo in range(0, len(reads), BATCH):
+            n_done += assign_batch(reads[lo:lo + BATCH])
+    else:
+        # double-buffered stream: device DP of batch k+1 overlaps the
+        # host stages of batch k
+        for alns, best in pl.assign_stream(
+                aligner, csfm, tree, placer, reads, BATCH, rng=rng):
+            n_done += sum(b is not None for b in best)
     dt = time.time() - t0
     rps = n_done / dt
 

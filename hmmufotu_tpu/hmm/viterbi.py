@@ -428,6 +428,14 @@ class ViterbiAligner:
         full (unbanded) DP, else the seed paths for a banded DP.
         Reads whose banded DP finds no finite path are automatically
         re-run unbanded (reference HmmUFOtu_main.cpp:89-96)."""
+        return self.finalize_batch(
+            self.dispatch_batch(seqs, vpaths_per_read, max_len))
+
+    def dispatch_batch(self, seqs, vpaths_per_read=None,
+                       max_len: int | None = None):
+        """Launch the device DP asynchronously; returns an opaque
+        handle for finalize_batch.  Lets a caller overlap the host
+        stages of one batch with the device DP of the next."""
         hmm = self.hmm
         B0 = len(seqs)
         if vpaths_per_read is None:
@@ -458,6 +466,17 @@ class ViterbiAligner:
         score, mi, mj, choices = self._run_dp(
             jnp.asarray(codes), jnp.asarray(lengths),
             jnp.asarray(regions), n_rows)
+        _tick("dp_dispatch", t)
+        return (seqs, B0, B, n_rows, codes, lengths, regions,
+                vpaths_per_read, score, mi, mj, choices)
+
+    def finalize_batch(self, handle) -> list[HmmAlignment]:
+        """Download DP results, run fallbacks, traceback and build the
+        alignment strings for a dispatched batch."""
+        hmm = self.hmm
+        (seqs, B0, B, n_rows, codes, lengths, regions,
+         vpaths_per_read, score, mi, mj, choices) = handle
+        t = time.time()
         jax.block_until_ready(score)
         t = _tick("dp", t)
         score_h = np.asarray(score)

@@ -392,3 +392,43 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
             float(s[r, 6]), float(s[r, 7]))
         results.append(place)
     return results
+
+
+def assign_stream(aligner: ViterbiAligner, csfm: CSFMIndex,
+                  tree: PTUnrooted, placer, reads: list[str],
+                  batch_size: int = 1024,
+                  seed_len: int = DEFAULT_SEED_LEN,
+                  seed_region: int = DEFAULT_SEED_REGION,
+                  mode: str = GLOBAL,
+                  rng: np.random.Generator | None = None,
+                  max_diff: float = math.inf,
+                  max_height: float = math.inf,
+                  max_error: float = DEFAULT_MAX_PLACE_ERROR,
+                  prior_type: str = "uniform",
+                  ml_only: bool = False):
+    """Double-buffered assignment over a read stream.
+
+    While batch k's host stages (traceback, alignment strings,
+    placement download) run, batch k+1's DP is already executing on
+    the device — jax dispatch is asynchronous, so the wall clock
+    approaches max(host, device) instead of their sum.
+
+    Yields (alignments, best_placements) per batch, in order.
+    """
+    batches = [reads[lo:lo + batch_size]
+               for lo in range(0, len(reads), batch_size)]
+
+    def dispatch(batch):
+        vp = batch_find_seed_vpaths(aligner.hmm, csfm, batch,
+                                    seed_len, seed_region, mode, rng)
+        return aligner.dispatch_batch(batch, vp)
+
+    pending = dispatch(batches[0]) if batches else None
+    for k in range(len(batches)):
+        nxt = dispatch(batches[k + 1]) if k + 1 < len(batches) else None
+        alns = aligner.finalize_batch(pending)
+        best = assign_batch_device(tree, placer, alns, max_diff,
+                                   max_height, max_error, prior_type,
+                                   ml_only)
+        pending = nxt
+        yield alns, best
