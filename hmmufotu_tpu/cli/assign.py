@@ -252,6 +252,41 @@ def main(argv=None) -> int:
         else None
 
     n_assigned = 0
+    # fast path: single-end, no chimera checking -> double-buffered
+    # stream (device DP of the next batch overlaps host work)
+    if not paired and not args.chimera and not args.align_only \
+            and mesh is None:
+        lo = 0
+        for alns, best_batch in pl.assign_stream(
+                aligner, csfm, tree, placer,
+                [r.seq for r in fwd_reads], args.batch,
+                args.seed_len, args.seed_region, mode, rng,
+                args.max_diff, args.max_height, args.err, args.prior,
+                args.ml_only):
+            for t, aln in enumerate(alns):
+                read = fwd_reads[lo + t]
+                best = best_batch[t]
+                if aln_out and aln.is_valid():
+                    from ..seq import PrimarySeq
+                    desc = (read.desc + f";csStart={aln.cs_start}"
+                            f";csEnd={aln.cs_end};")
+                    aln_out.write(PrimarySeq(read.id, aln.align, desc))
+                if best is not None:
+                    n_assigned += 1
+                out.write(f"{read.id}\t{read.desc}\t" + aln_tsv(aln)
+                          + "\t" + place_tsv(tree, best) + "\n")
+            lo += len(alns)
+            out.flush()
+            log.info("Processed %d reads", lo)
+        if out is not sys.stdout:
+            out.close()
+        if chi_out:
+            chi_out.close()
+        if aln_out:
+            aln_out.close()
+        log.info("Assigned %d of %d reads", n_assigned, len(fwd_reads))
+        return 0
+
     for lo in range(0, len(fwd_reads), args.batch):
         batch = fwd_reads[lo:lo + args.batch]
         alns = pl.align_reads(aligner, csfm, [r.seq for r in batch],
