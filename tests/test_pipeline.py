@@ -413,3 +413,40 @@ class TestChimera:
         # the chimera must be flagged (diverted to the chimera output)
         assert "chimera" in chim_rows
         assert "chimera" not in body
+
+
+class TestGoldenCategories:
+    def test_assignments_match_golden(self, tmp_path):
+        """Category regression vs the committed golden: the same
+        build/sim/assign seeds must recover the same branch and taxon
+        per read (tests/golden_assign_categories.tsv; regenerate it
+        deliberately when numerics change)."""
+        from hmmufotu_tpu.cli.build import main as build_main
+        from hmmufotu_tpu.cli.sim import main as sim_main
+        from hmmufotu_tpu.cli.assign import main as assign_main
+        db = str(tmp_path / "gdb")
+        reads = str(tmp_path / "r.fasta")
+        out = str(tmp_path / "a.tsv")
+        assert build_main([
+            os.path.join(FIXTURES, "70_otus.fasta"),
+            os.path.join(FIXTURES, "70_otus.tree"),
+            "-a", os.path.join(FIXTURES, "70_otus_taxonomy.txt"),
+            "-n", db, "-s", "GTR"]) == 0
+        assert sim_main([db, reads, "-N", "40", "-S", "0",
+                         "--mean-size", "300", "--sd-size", "20"]) == 0
+        assert assign_main([db, reads, "-o", out, "-S", "0"]) == 0
+        got = {}
+        for line in open(out):
+            if line.startswith("#") or line.startswith("id\t"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            got[f[0]] = (f[10], f[12])
+        golden = {}
+        gpath = os.path.join(os.path.dirname(__file__),
+                             "golden_assign_categories.tsv")
+        for line in open(gpath):
+            if line.startswith("#") or line.startswith("id\t"):
+                continue
+            f = line.rstrip("\n").split("\t")
+            golden[f[0]] = (f[1], f[2])
+        assert got == golden
