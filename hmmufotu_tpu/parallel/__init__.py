@@ -7,8 +7,9 @@ over the data axis of a `jax.sharding.Mesh`, and merges OTU-table
 accumulators with psum collectives.
 """
 
+from .distributed import host_shard, init_distributed
 from .sharding import (make_mesh, sharded_assign_step,
                        sharded_otu_accumulate, sharded_place_batch)
 
 __all__ = ["make_mesh", "sharded_assign_step", "sharded_otu_accumulate",
-           "sharded_place_batch"]
+           "sharded_place_batch", "init_distributed", "host_shard"]
