@@ -42,9 +42,13 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
+PAD_NIBBLE = 5                       # traceback pad state
+PAD_WORD = 0x55555555                # 8 pad nibbles per int32
+
+
 def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
-                    choices_ref, best_ref,
-                    *, n_rows: int, K: int, KP: int):
+                    choices_ref, best_ref, emits_ref,
+                    *, n_rows: int, K: int, KP: int, max_steps: int):
     """One program = READS_PER_PROGRAM reads, full row loop.
 
     codes_s: scalar-prefetch [B, n_rows] int32 read bases
@@ -222,10 +226,82 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
             jnp.zeros((R, KP), jnp.int32))
     _, _, _, best, best_i, best_j, _ = jax.lax.fori_loop(
         1, n_rows + 1, body, init)
+
+    # ---- in-kernel traceback (reference buildViterbiTrace,
+    # BandedHMMP7.cpp:943-1006).  The choice planes are still VMEM-
+    # resident in choices_ref; walking them here avoids both the
+    # device->host plane transfer and a long XLA scan of tiny kernels.
+    # States emit 4-bit into emits_ref words (8 steps per int32), pad
+    # nibble = 5; the walk early-exits once every read hit its B state.
+    G = n_rows // PACK_ROWS
+    TPS = max_steps // 8
+    rr = jax.lax.broadcasted_iota(jnp.int32, (R, 1), 0)
+    gg_t = jax.lax.broadcasted_iota(jnp.int32, (R, TPS), 1)
+
+    s_v = jnp.where(best_j <= K, 1, 2)           # M or I   [R,1]
+    j_0 = jnp.minimum(best_j, K)
+    i_0 = best_i
+
+    def tcond(state):
+        t, n_live, s, i, j, done, buf = state
+        return jnp.logical_and(t < max_steps, n_live > 0)
+
+    def tbody(state):
+        t, n_live, s, i, j, done_i, buf = state
+        done = done_i > 0             # int32 carry: Mosaic while
+        live = jnp.logical_not(done) & (i >= 1) & (j >= 0)
+        emit = jnp.where(live, s, PAD_NIBBLE)    # [R,1]
+        shift_t = 4 * (7 - (t & 7))              # scalar
+        buf = jnp.where(gg_t == (t >> 3),
+                        (buf & ~(15 << shift_t)) | (emit << shift_t),
+                        buf)
+
+        g = jnp.clip((i - 1) >> 3, 0, G - 1)     # [R,1]
+        rows = []
+        for r in range(R):
+            g_r = jnp.sum(jnp.where(rr == r, g, 0))
+            rows.append(choices_ref[pl.ds(g_r, 1), pl.ds(r, 1), :]
+                        .reshape(1, KP))
+        rows_m = jnp.concatenate(rows, axis=0)   # [R, KP]
+        j_c = jnp.clip(j, 0, KP - 1)
+        word = jnp.sum(jnp.where(jj == j_c, rows_m, 0), axis=1,
+                       keepdims=True)            # [R,1]
+        shift_i = 4 * (7 - ((i - 1) & 7))        # [R,1]
+        ch = jax.lax.shift_right_logical(word, shift_i) & 15
+        cm = ch & 3
+        ci = (ch >> 2) & 1
+        cd = (ch >> 3) & 1
+        is_m = s == 1
+        is_i = s == 2
+        is_d = s == 3
+        nxt_i = jnp.where(j > 0, jnp.where(ci == 0, 1, 2),
+                          jnp.where(ci == 0, 0, 2))
+        nxt_d = jnp.where(cd == 0, 1, 3)
+        s_n = jnp.where(is_m, cm,
+                        jnp.where(is_i, nxt_i,
+                                  jnp.where(is_d, nxt_d, s)))
+        i_n = i - jnp.where(is_m | is_i, 1, 0)
+        j_n = j - jnp.where(is_m | is_d, 1, 0)
+        done_n = done | (live & (s == 0)) | jnp.logical_not(live)
+        s2 = jnp.where(live, s_n, s)
+        i2 = jnp.where(live, i_n, i)
+        j2 = jnp.where(live, j_n, j)
+        n_live_n = jnp.sum(jnp.where(done_n, 0, 1))
+        return (t + 1, n_live_n, s2, i2, j2,
+                done_n.astype(jnp.int32), buf)
+
+    tinit = (jnp.int32(0), jnp.int32(R),
+             s_v, i_0, j_0, jnp.zeros((R, 1), jnp.int32),
+             jnp.full((R, TPS), PAD_WORD, jnp.int32))
+    _, _, _, i_f, j_f, _, buf = jax.lax.while_loop(
+        tcond, tbody, tinit)
+    emits_ref[:, :] = buf
+
+    f32 = lambda x: x.astype(jnp.float32)
     out = jnp.concatenate(
-        [best, best_i.astype(jnp.float32),
-         best_j.astype(jnp.float32),
-         jnp.zeros((READS_PER_PROGRAM, 125), jnp.float32)], axis=1)
+        [best, f32(best_i), f32(best_j),
+         f32(j_f + 1), f32(j_0), f32(i_f + 1), f32(i_0),
+         jnp.zeros((READS_PER_PROGRAM, 121), jnp.float32)], axis=1)
     best_ref[:, :] = out
 
 
@@ -237,7 +313,30 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
     Returns (min_score [B], min_i [B], min_j [B],
              packed_choices [n_rows/8, B, KP] int32) — decode with
     unpack_nibble_choices.  n_rows must be a multiple of 8.
+    The kernel also runs the traceback in-kernel; use
+    viterbi_pallas_traced for the packed state strings.
     """
+    score, min_i, min_j, packed, _, _ = _viterbi_pallas_full(
+        dh, codes, lengths, regions, n_rows, interpret)
+    return score, min_i, min_j, packed
+
+
+@partial(jax.jit, static_argnames=("n_rows", "interpret"))
+def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
+                          n_rows: int, interpret: bool = False):
+    """Pallas Viterbi + in-kernel traceback.
+
+    Returns (score [B], emits [B, TPS] int32 nibble-packed reverse
+    state strings — decode with unpack_emits — and bounds [B, 4]
+    f32 = (aln_start, aln_end, aln_from, aln_to), 1-based).
+    """
+    score, _, _, _, emits, bounds = _viterbi_pallas_full(
+        dh, codes, lengths, regions, n_rows, interpret)
+    return score, emits, bounds
+
+
+def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
+                         n_rows: int, interpret: bool = False):
     B = codes.shape[0]
     K = dh.K
     KP = _round_up(K + 2, 128)
@@ -288,6 +387,12 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
     codes_i = (cpad.reshape(B, nw, 16) << shifts).sum(axis=2) \
         .astype(jnp.int32)
 
+    # traceback emit buffer: path length <= n_rows + K + 2 states,
+    # 8 per int32 word, lane dim padded to 128 words
+    max_steps = _round_up(n_rows + K + 2, 8)
+    TPS = _round_up(max_steps // 8, 128)
+    max_steps = TPS * 8
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B // R,),
@@ -305,15 +410,19 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, TPS), lambda p, cs, ss: (p, 0),
+                         memory_space=pltpu.VMEM),
         ],
     )
-    packed, best = pl.pallas_call(
-        partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP),
+    packed, best, emits = pl.pallas_call(
+        partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
+                max_steps=max_steps),
         grid_spec=grid_spec,
         out_shape=[
             jax.ShapeDtypeStruct((n_rows // PACK_ROWS, B, KP),
                                  jnp.int32),
             jax.ShapeDtypeStruct((B, 128), jnp.float32),
+            jax.ShapeDtypeStruct((B, TPS), jnp.int32),
         ],
         interpret=interpret,
     )(codes_i, scal, meta, tc, em)
@@ -321,7 +430,19 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
     score = best[:, 0]
     min_i = best[:, 1].astype(jnp.int32)
     min_j = best[:, 2].astype(jnp.int32)
-    return score, min_i, min_j, packed
+    bounds = best[:, 3:7]
+    return score, min_i, min_j, packed, emits, bounds
+
+
+def unpack_emits(emits: np.ndarray) -> np.ndarray:
+    """Decode [B, TPS] int32 nibble-packed traceback words to
+    [B, TPS*8] uint8 state codes (step t = word t>>3, nibble 7-(t&7);
+    5 = pad)."""
+    B, TPS = emits.shape
+    out = np.empty((B, TPS, 8), dtype=np.uint8)
+    for k in range(8):
+        out[:, :, k] = ((emits >> (4 * (7 - k))) & 0xF).astype(np.uint8)
+    return out.reshape(B, TPS * 8)
 
 
 def unpack_nibble_choices(packed: np.ndarray, n_rows: int,

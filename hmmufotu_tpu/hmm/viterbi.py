@@ -463,6 +463,16 @@ class ViterbiAligner:
                 regions[r] = full_dp_regions(n_rows, hmm.K)
 
         t = time.time()
+        if self.kernel == "pallas" and self.traceback_mode == "device":
+            # single-kernel DP + in-kernel traceback: only the packed
+            # state strings and bounds ever leave the device
+            from .pallas_viterbi import viterbi_pallas_traced
+            score, emits, bounds = viterbi_pallas_traced(
+                self.dh, jnp.asarray(codes), jnp.asarray(lengths),
+                jnp.asarray(regions), n_rows)
+            _tick("dp_dispatch", t)
+            return (seqs, B0, B, n_rows, codes, lengths, regions,
+                    vpaths_per_read, score, emits, bounds, None)
         score, mi, mj, choices = self._run_dp(
             jnp.asarray(codes), jnp.asarray(lengths),
             jnp.asarray(regions), n_rows)
@@ -476,6 +486,8 @@ class ViterbiAligner:
         hmm = self.hmm
         (seqs, B0, B, n_rows, codes, lengths, regions,
          vpaths_per_read, score, mi, mj, choices) = handle
+        traced = (self.kernel == "pallas"
+                  and self.traceback_mode == "device")
         t = time.time()
         jax.block_until_ready(score)
         t = _tick("dp", t)
@@ -490,29 +502,33 @@ class ViterbiAligner:
             regions2 = regions.copy()
             for r in np.nonzero(failed)[0]:
                 regions2[r] = full_dp_regions(n_rows, hmm.K)
-            s2, i2, j2, c2 = self._run_dp(
-                jnp.asarray(codes), jnp.asarray(lengths),
-                jnp.asarray(regions2), n_rows)
             fmask = jnp.asarray(failed)
-            score = jnp.where(fmask, s2, score)
-            mi = jnp.where(fmask, i2, mi)
-            mj = jnp.where(fmask, j2, mj)
-            choices = jnp.where(fmask[None, :, None], c2, choices)
+            if traced:
+                from .pallas_viterbi import viterbi_pallas_traced
+                s2, e2, b2 = viterbi_pallas_traced(
+                    self.dh, jnp.asarray(codes), jnp.asarray(lengths),
+                    jnp.asarray(regions2), n_rows)
+                score = jnp.where(fmask, s2, score)
+                mi = jnp.where(fmask[:, None], e2, mi)      # emits
+                mj = jnp.where(fmask[:, None], b2, mj)      # bounds
+            else:
+                s2, i2, j2, c2 = self._run_dp(
+                    jnp.asarray(codes), jnp.asarray(lengths),
+                    jnp.asarray(regions2), n_rows)
+                score = jnp.where(fmask, s2, score)
+                mi = jnp.where(fmask, i2, mi)
+                mj = jnp.where(fmask, j2, mj)
+                choices = jnp.where(fmask[None, :, None], c2, choices)
             score_h = np.asarray(score)
 
         alns: list[HmmAlignment] = []
-        if self.kernel == "pallas" and self.traceback_mode == "device":
-            from .pallas_viterbi import traceback_device_packed
+        if traced:
+            # in-kernel traceback: mi holds the packed state strings,
+            # mj the (aln_start, aln_end, aln_from, aln_to) bounds
+            from .pallas_viterbi import unpack_emits
             t = time.time()
-            max_steps = n_rows + hmm.K + 2
-            emits, a_start, a_end, a_from, a_to = \
-                traceback_device_packed(choices, mi, mj, hmm.K,
-                                        max_steps)
-            emits = np.asarray(emits)
-            a_start = np.asarray(a_start)
-            a_end = np.asarray(a_end)
-            a_from = np.asarray(a_from)
-            a_to = np.asarray(a_to)
+            emits = unpack_emits(np.asarray(mi))
+            bounds = np.asarray(mj).astype(np.int32)
             t = _tick("trace_dl", t)
             codes_str = "BMIDE"
             for r in range(B):
@@ -525,9 +541,9 @@ class ViterbiAligner:
                     trace = "B" + trace
                 trace += "E"
                 alns.append(build_global_align(
-                    hmm, seqs[r], trace, int(a_start[r]),
-                    int(a_end[r]), int(a_from[r]), int(a_to[r]),
-                    float(score_h[r])))
+                    hmm, seqs[r], trace, int(bounds[r, 0]),
+                    int(bounds[r, 1]), int(bounds[r, 2]),
+                    int(bounds[r, 3]), float(score_h[r])))
             _tick("host_build", t)
             return alns[:B0]
         if self.kernel == "pallas":

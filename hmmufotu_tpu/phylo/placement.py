@@ -123,11 +123,106 @@ def _conv_mix(Pr_fn, rates: jax.Array, msgs):
     return jnp.log(jnp.exp(X - scale).mean(axis=-1)) + scale[..., 0]
 
 
-def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len):
+def _round_up(x: int, m: int) -> int:
+    return (x + m - 1) // m * m
+
+
+FP_ROWS = 128   # candidate lanes per fixed-point kernel program
+
+
+def _fp_kernel(scal_ref, eA_ref, eB_ref, out_ref):
+    """One program iterates FP_ROWS candidate lanes to convergence.
+
+    scal_ref [FP_ROWS, 128] f32: col 0 = n (informative-site count),
+    col 1 = p_init, col 2 = skip flag (1.0 = lane already done).
+    eA/eB [FP_ROWS, W] f32 pre-scaled site factors (0 outside mask).
+    out col 0 = converged p.
+    """
+    eA = eA_ref[:, :]
+    eB = eB_ref[:, :]
+    n = scal_ref[:, 0:1]
+    p0 = scal_ref[:, 1:2]
+    skip = scal_ref[:, 2:3] > 0.5
+
+    def cond(state):
+        p, it, n_live, done_i = state
+        return jnp.logical_and(it < MAX_ITER, n_live > 0)
+
+    def body(state):
+        p, it, n_live, done_i = state
+        done = done_i > 0             # int32 carry: Mosaic while
+        num = eB * p
+        den = eA * (1.0 - p) + num
+        frac = jnp.where(den > 0, num / den, 0.0)
+        pn = jnp.sum(frac, axis=1, keepdims=True) / n
+        bad = jnp.logical_not((pn >= 0) & (pn <= 1))
+        diff = jnp.abs(jnp.log1p(-pn) - jnp.log1p(-p))
+        conv = (diff < BRANCH_EPS) \
+            | jnp.logical_not(jnp.isfinite(diff)) \
+            | (pn >= 1.0 - 1e-7)
+        new_done = done | conv | bad
+        p_next = jnp.where(done | bad, p, pn)
+        return (p_next, it + 1, jnp.sum(jnp.where(new_done, 0, 1)),
+                new_done.astype(jnp.int32))
+
+    p_fin, _, _, _ = jax.lax.while_loop(
+        cond, body, (p0, jnp.int32(0), jnp.int32(FP_ROWS),
+                     skip.astype(jnp.int32)))
+    out_ref[:, :] = jnp.broadcast_to(p_fin, out_ref.shape)
+
+
+def _fixed_point_pallas(eA, eB, n, p_init, skip):
+    """Run the whole fixed-point iteration as ONE Pallas kernel.
+
+    The XLA while_loop form issues a handful of kernels per iteration
+    (and typically runs ~70 iterations to batch convergence), which is
+    dominated by per-kernel dispatch overhead on a remote TPU; here the
+    entire loop stays VMEM-resident in a single kernel launch.
+
+    eA/eB [M, W]; n/p_init/skip [M].  Returns p [M].
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    M, W = eA.shape
+    Mp = _round_up(max(M, FP_ROWS), FP_ROWS)
+    Wp = _round_up(W, 128)
+    f32 = jnp.float32
+    eAp = jnp.zeros((Mp, Wp), f32).at[:M, :W].set(eA.astype(f32))
+    eBp = jnp.zeros((Mp, Wp), f32).at[:M, :W].set(eB.astype(f32))
+    scal = jnp.ones((Mp, 128), f32)      # pad rows: n=1, skip=1
+    scal = scal.at[:M, 0].set(n.astype(f32))
+    scal = scal.at[:M, 1].set(p_init.astype(f32))
+    scal = scal.at[:M, 2].set(skip.astype(f32))
+    scal = scal.at[M:, 2].set(1.0)
+
+    out = pl.pallas_call(
+        _fp_kernel,
+        grid=(Mp // FP_ROWS,),
+        in_specs=[
+            pl.BlockSpec((FP_ROWS, 128), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FP_ROWS, Wp), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((FP_ROWS, Wp), lambda p: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((FP_ROWS, 128), lambda p: (p, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((Mp, 128), f32),
+        interpret=jax.default_backend() != "tpu",
+    )(scal, eAp, eBp)
+    return out[:M, 0].astype(eA.dtype)
+
+
+def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len,
+                        skip=None, use_pallas: bool = False):
     """Batched Felsenstein single-branch fixed point
     (reference optimizeBranchLength(u,v), PhyloTreeUnrooted.cpp:749-798).
 
     U, V: [..., 4, W]; w0, max_len: [...]; site_mask: [..., W].
+    skip: [...] bool lanes whose result the caller discards (they start
+    converged, so they never hold the batch back).
     Returns optimized branch length [...].
     """
     logA = _dot_scaled_vec(log_pi, U + V)              # [..., W]
@@ -139,6 +234,18 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len):
     n = jnp.maximum(ok.sum(axis=-1), 1)
 
     p_init = 1.0 - jnp.exp(-w0)
+    # init `done` from the data so its device-varying type matches
+    # under shard_map
+    done0 = p_init < -1.0 if skip is None else skip
+
+    if use_pallas:
+        shape = p_init.shape
+        W = eA.shape[-1]
+        p_fin = _fixed_point_pallas(
+            eA.reshape(-1, W), eB.reshape(-1, W), n.reshape(-1),
+            p_init.reshape(-1), done0.reshape(-1)).reshape(shape)
+        w = -jnp.log1p(-p_fin)
+        return jnp.minimum(w, max_len)
 
     def cond(state):
         p0, it, done = state
@@ -161,22 +268,22 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len):
         p_next = jnp.where(done | bad, p0, p)
         return p_next, it + 1, new_done
 
-    # init `done` from the data so its device-varying type matches
-    # under shard_map
     p_fin, _, _ = jax.lax.while_loop(
-        cond, body, (p_init, jnp.int32(0), p_init < -1.0))
+        cond, body, (p_init, jnp.int32(0), done0))
     w = -jnp.log1p(-p_fin)
     return jnp.minimum(w, max_len)
 
 
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
-                                   "height_prior", "ml_only"))
+                                   "height_prior", "ml_only",
+                                   "fp_pallas"))
 def place_batch_device(dt: DeviceTree, seqs: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
                        max_error: float, W: int, C: int, n_rates: int,
                        height_prior: bool = False,
-                       ml_only: bool = False):
+                       ml_only: bool = False,
+                       fp_pallas: bool = False):
     """Full SEP placement of a read batch.
 
     seqs: [B, L] int8 aligned digital reads
@@ -307,10 +414,12 @@ def place_batch_device(dt: DeviceTree, seqs: jax.Array,
         wur, wvr, wnr, wur_p, wnr_p, it, done = state
         Rn = _conv_mix(Pr_fn, rates, [(U, wur), (V, wvr)])
         wnr_n = _fixed_point_branch(dt.log_pi, Rn, Nl, wnr, site_ok_c,
-                                    jnp.ones_like(wnr))
+                                    jnp.ones_like(wnr), skip=done,
+                                    use_pallas=fp_pallas)
         Ru = _conv_mix(Pr_fn, rates, [(V, wvr), (Nl, wnr_n)])
         wur_n = _fixed_point_branch(dt.log_pi, Ru, U, wur, site_ok_c,
-                                    w0)
+                                    w0, skip=done,
+                                    use_pallas=fp_pallas)
         wvr_n = w0 - wur_n
         conv = (jnp.abs(wur_n - wur) < BRANCH_EPS) \
             & (jnp.abs(wnr_n - wnr) < BRANCH_EPS)
@@ -417,10 +526,14 @@ class DevicePlacer:
 
     def __init__(self, tree: PTUnrooted, window: int = 512,
                  max_nseed: int = 50, dtype=jnp.float32,
-                 msg_dtype=None):
+                 msg_dtype=None, fp_pallas: bool | None = None):
         self.tree = tree
         self.W = min(window, tree.cs_len)
         self.C = max_nseed
+        # single-kernel Pallas fixed point on real TPUs; the XLA
+        # while_loop everywhere else (interpret mode is slow)
+        self.fp_pallas = (jax.default_backend() == "tpu") \
+            if fp_pallas is None else fp_pallas
         self.dt = DeviceTree.from_tree(tree, dtype, msg_dtype)
         if tree.model.name == "GTR":
             tensors = (jnp.asarray(tree.model.U, dtype),
@@ -449,7 +562,7 @@ class DevicePlacer:
             self.dt, jnp.asarray(seqs, jnp.int8),
             jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
             self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
-            self.n_rates, height_prior, ml_only)
+            self.n_rates, height_prior, ml_only, self.fp_pallas)
         if summary_only:
             return {"summary": np.asarray(out["summary"])}
         return {k: np.asarray(v) for k, v in out.items()}

@@ -71,59 +71,69 @@ def batch_find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex,
     All (read, window) k-mers run through ONE batched backward search
     (csfm._backward_search); per read the first hit window is selected
     — the same window the reference's sequential scan with early break
-    would pick (HmmUFOtu_main.cpp:52-84)."""
+    would pick (HmmUFOtu_main.cpp:52-84).  Window emission, hit
+    selection and RNG draws are fully vectorized; random draws happen
+    in read order (one per hit read per side), so seeded runs stay
+    byte-identical to the per-read scan."""
     B = len(reads)
     out: list[list[ViterbiAlignPath]] = [[] for _ in range(B)]
-
-    # encode each read once; k-mer windows are sliding views
-    enc_reads = [csfm._encode(read) for read in reads]
+    if B == 0:
+        return out
+    lens = np.array([len(r) for r in reads], dtype=np.int64)
+    Lmax = int(lens.max())
+    if Lmax < seed_len:
+        return out
+    enc = np.zeros((B, Lmax), dtype=np.int64)
+    for r, read in enumerate(reads):
+        enc[r, : lens[r]] = csfm._encode(read)
+    region = np.minimum(seed_region, lens)
+    nwin = region - seed_len + 1        # windows per side per read
+    Kw = int(nwin.max())
+    if Kw <= 0:
+        return out
+    kk = np.arange(Kw)
 
     def run_side(five_prime: bool):
-        windows, owner, offs = [], [], []
-        for r, read in enumerate(reads):
-            n = len(read)
-            region = min(seed_region, n)
-            if five_prime:
-                rng_off = range(0, region - seed_len + 1)
-            else:
-                if out[r] and n < 2 * region:
-                    continue
-                rng_off = range(n - seed_len, n - region - 1, -1)
-            if n < seed_len:
-                continue
-            view = np.lib.stride_tricks.sliding_window_view(
-                enc_reads[r], seed_len)
-            for frm in rng_off:
-                if frm < 0:
-                    continue
-                windows.append(view[frm])
-                owner.append(r)
-                offs.append(frm)
-        if not windows:
+        if five_prime:
+            offs = np.broadcast_to(kk, (B, Kw))
+            skip = np.zeros(B, dtype=bool)
+        else:
+            # 3' windows scan right-to-left (off descending)
+            offs = (lens - seed_len)[:, None] - kk[None, :]
+            skip = np.array([bool(out[r]) and lens[r] < 2 * region[r]
+                             for r in range(B)])
+        valid = ((kk[None, :] < nwin[:, None]) & (offs >= 0)
+                 & (lens[:, None] >= seed_len) & ~skip[:, None])
+        offs_c = np.clip(offs, 0, max(Lmax - seed_len, 0))
+        win = enc[np.arange(B)[:, None, None],
+                  offs_c[:, :, None] + np.arange(seed_len)]
+        flat = win.reshape(B * Kw, seed_len)
+        vmask = valid.reshape(-1)
+        if not vmask.any():
             return
-        enc = np.stack(windows)
-        s, e = csfm._backward_search(enc)
-        hit = s <= e
-        # first hit per read (windows were emitted in scan order)
-        chosen: dict[int, int] = {}
-        for k in range(len(owner)):
-            r = owner[k]
-            if hit[k] and r not in chosen:
-                chosen[r] = k
-        if not chosen:
+        s = np.zeros(B * Kw, dtype=np.int64)
+        e = np.full(B * Kw, -1, dtype=np.int64)
+        sv, ev = csfm._backward_search(flat[vmask])
+        s[vmask] = sv
+        e[vmask] = ev
+        hit = ((s <= e) & vmask).reshape(B, Kw)
+        has = hit.any(axis=1)
+        first = hit.argmax(axis=1)          # first hit in scan order
+        rows_idx = np.nonzero(has)[0]
+        if rows_idx.size == 0:
             return
-        ks = sorted(chosen.values())
-        rows = s[ks].copy()
+        ks = rows_idx * Kw + first[rows_idx]
+        srows = s[ks]
         if rng is not None:
-            spans = e[ks] - s[ks] + 1
-            rows = s[ks] + (rng.integers(0, 2**62, size=len(ks)) % spans)
-        starts = csfm._access_sa(rows)
-        for t, k in enumerate(ks):
-            r = owner[k]
-            pat = reads[r][offs[k]:offs[k] + seed_len]
+            spans = e[ks] - srows + 1
+            srows = srows + (rng.integers(0, 2**62, size=len(ks))
+                             % spans)
+        starts = csfm._access_sa(srows)
+        for t, r in enumerate(rows_idx):
+            off = int(offs[r, first[r]])
+            pat = reads[r][off:off + seed_len]
             loc = csfm._cs_loc(int(starts[t]), pat)
-            vp = hmm.build_align_path(loc, offs[k] + 1,
-                                      offs[k] + seed_len)
+            vp = hmm.build_align_path(loc, off + 1, off + seed_len)
             if vp.is_valid():
                 out[r].append(vp)
 

@@ -288,6 +288,45 @@ class TestPallasKernel:
         mismatch = (np.asarray(c1) != np.asarray(c2)).mean()
         assert mismatch < 1e-4
 
+    def test_in_kernel_traceback_matches_host(self, hmm):
+        """The in-kernel traceback must reproduce the host traceback
+        over the same choice planes (interpret mode on CPU)."""
+        import jax.numpy as jnp
+        from hmmufotu_tpu.hmm.viterbi import (full_dp_regions,
+                                              traceback_packed)
+        from hmmufotu_tpu.hmm.pallas_viterbi import (
+            unpack_emits, viterbi_pallas, viterbi_pallas_traced)
+        from hmmufotu_tpu.hmm import ViterbiAligner
+        hmm.set_sequence_mode(NGCL)
+        al = ViterbiAligner(hmm, kernel="scan")
+        rng = np.random.default_rng(3)
+        n_rows = 64
+        codes = rng.integers(0, 4, size=(8, n_rows)).astype(np.int8)
+        lengths = np.full(8, n_rows, np.int32)
+        lengths[3] = 40
+        regions = np.tile(full_dp_regions(n_rows, hmm.K)[None],
+                          (8, 1, 1)).astype(np.int32)
+        args = (al.dh, jnp.asarray(codes), jnp.asarray(lengths),
+                jnp.asarray(regions), n_rows)
+        s1, i1, j1, pk = viterbi_pallas(*args, interpret=True)
+        s2, emits, bounds = viterbi_pallas_traced(*args,
+                                                  interpret=True)
+        np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
+        em = unpack_emits(np.asarray(emits))
+        bounds = np.asarray(bounds).astype(np.int32)
+        pk_h = np.asarray(pk)
+        codes_str = "BMIDE"
+        for r in range(8):
+            want = traceback_packed(pk_h, r, int(np.asarray(i1)[r]),
+                                    int(np.asarray(j1)[r]), hmm.K)
+            path = em[r][em[r] != 5]
+            trace = "".join(codes_str[c] for c in path[::-1])
+            if not trace.startswith("B"):
+                trace = "B" + trace
+            trace += "E"
+            assert trace == want[0]
+            assert tuple(bounds[r]) == want[1:]
+
 
 class TestNativeSAIS:
     def test_native_matches_doubling(self):
