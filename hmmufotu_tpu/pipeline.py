@@ -17,7 +17,8 @@ from dataclasses import dataclass
 
 import numpy as np
 
-from .hmm import GLOBAL, HmmAlignment, ProfileHMM, ViterbiAligner
+from .hmm import (GLOBAL, HmmAlignment, ProfileHMM, ViterbiAligner,
+                  ViterbiAlignPath)
 from .index import CSFMIndex
 from .phylo import PTLoc, PTPlacement, PTUnrooted
 from .phylo.tree import MAX_Q
@@ -58,6 +59,72 @@ def find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex, read: str,
                     vpaths.append(vp)
                     break
     return vpaths
+
+
+def _align_paths_batch(hmm: ProfileHMM, csfm: CSFMIndex,
+                       starts: np.ndarray, offs: np.ndarray,
+                       wins: np.ndarray, pats: list[str]):
+    """Closed-form batched CSLoc -> ViterbiAlignPath construction.
+
+    Equivalent to csfm._cs_loc + hmm.build_align_path per hit
+    (reference extractCS, CSFMIndex.cpp:262-273 + buildAlignPath,
+    BandedHMMP7.cpp:894-940) without materializing the gapped CS
+    strings: for strictly increasing consensus positions the walked
+    CS range is [cs_pos[0], cs_pos[-1]] and every quantity reduces to
+    prefix-sum lookups.  Non-monotone hits (separator matches from
+    degenerate read chars) fall back to the exact per-hit path.
+
+    starts: [H] concat positions; offs: [H] 0-based read offsets;
+    wins: [H, plen] encoded window codes (csfm._encode: symbols 1..4);
+    pats: the window strings (fallback only).
+    Returns a list of ViterbiAlignPath.
+    """
+    H, plen = wins.shape
+    cs2p = hmm.cs2profile
+    tables = getattr(hmm, "_cs_match_tables", None)
+    if tables is None or tables[0].shape[0] != cs2p.shape[0]:
+        nz = cs2p != 0
+        idx = np.arange(len(cs2p), dtype=np.int64)
+        mp = np.cumsum(nz)                       # k!=0 count <= cs
+        nxt = np.where(nz, idx, len(cs2p) - 1)   # next k!=0 pos >= cs
+        nxt = np.minimum.accumulate(nxt[::-1])[::-1].copy()
+        prv = np.where(nz, idx, 0)               # prev k!=0 pos <= cs
+        prv = np.maximum.accumulate(prv)
+        hmm._cs_match_tables = (mp, nxt, prv)
+    mp, nxt, prv = hmm._cs_match_tables
+
+    cs_pos = csfm.concat2cs[
+        starts[:, None] + np.arange(plen)].astype(np.int64)  # [H, plen]
+    a = cs_pos[:, 0]
+    b = cs_pos[:, -1]
+    mono = (a >= 1)
+    if plen > 1:
+        mono &= (np.diff(cs_pos, axis=1) >= 1).all(axis=1)
+    sym = (wins >= 1) & (wins <= 4)
+    m = sym.sum(axis=1)
+    a_c = np.maximum(a, 1)
+    npos_k = mp[b] - mp[a_c - 1]
+    sp = nxt[a_c]
+    start_k = np.where(sp <= b, cs2p[np.minimum(sp, len(cs2p) - 1)], 0)
+    ep = prv[b]
+    end_k = np.where(ep >= a_c, cs2p[ep], 0)
+    k_pat = cs2p[cs_pos]
+    n_del = npos_k - (sym & (k_pat != 0)).sum(axis=1)
+    n_ins = (sym & (k_pat == 0)).sum(axis=1)
+    from_ = np.where(m > 0, offs + 1, 0)
+    to = offs + m
+
+    out = []
+    for h in range(H):
+        if mono[h]:
+            out.append(ViterbiAlignPath(
+                int(start_k[h]), int(end_k[h]), int(from_[h]),
+                int(to[h]), int(n_ins[h]), int(n_del[h])))
+        else:
+            loc = csfm._cs_loc(int(starts[h]), pats[h])
+            out.append(hmm.build_align_path(loc, int(offs[h]) + 1,
+                                            int(offs[h]) + plen))
+    return out
 
 
 def batch_find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex,
@@ -129,13 +196,15 @@ def batch_find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex,
             srows = srows + (rng.integers(0, 2**62, size=len(ks))
                              % spans)
         starts = csfm._access_sa(srows)
+        h_offs = offs[rows_idx, first[rows_idx]].astype(np.int64)
+        h_wins = flat[ks]
+        pats = [reads[r][int(h_offs[t]):int(h_offs[t]) + seed_len]
+                for t, r in enumerate(rows_idx)]
+        vps = _align_paths_batch(hmm, csfm, starts, h_offs, h_wins,
+                                 pats)
         for t, r in enumerate(rows_idx):
-            off = int(offs[r, first[r]])
-            pat = reads[r][off:off + seed_len]
-            loc = csfm._cs_loc(int(starts[t]), pat)
-            vp = hmm.build_align_path(loc, off + 1, off + seed_len)
-            if vp.is_valid():
-                out[r].append(vp)
+            if vps[t].is_valid():
+                out[r].append(vps[t])
 
     run_side(True)
     if mode == GLOBAL:
