@@ -100,6 +100,11 @@ def sharded_place_batch(mesh: Mesh, placer, seqs, starts, ends,
     data axis, the DeviceTree (messages, node seqs, model tensors)
     replicated per chip via closure capture.
 
+    `seqs` may be full [B, csLen] digital reads or pre-sliced [B, W]
+    windows (window at min(start, csLen-W), as place_batch_win) —
+    full-width input is sliced host-side so only W bytes/read are
+    shipped per chip.
+
     Returns the packed per-read best-placement summary [B, 12]
     (sharded over reads).  This is the real multi-chip assignment
     step — the same place_batch_device kernel as single-chip, SPMD
@@ -107,11 +112,18 @@ def sharded_place_batch(mesh: Mesh, placer, seqs, starts, ends,
     """
     from ..phylo.placement import place_batch_device
 
+    seqs = np.asarray(seqs, np.int8)
+    L = placer.tree.cs_len
+    if seqs.shape[1] != placer.W:
+        sc = np.minimum(np.asarray(starts, np.int64), L - placer.W)
+        seqs = seqs[np.arange(len(seqs))[:, None],
+                    sc[:, None] + np.arange(placer.W)]
+
     def step(seqs_l, starts_l, ends_l):
         out = place_batch_device(
             placer.dt, seqs_l, starts_l, ends_l, placer.pr_fn,
             max_diff, max_height, max_error, placer.W, placer.C,
-            placer.n_rates, height_prior, ml_only, placer.fp_pallas)
+            placer.n_rates, L, height_prior, ml_only, placer.fp_pallas)
         return out["summary"]
 
     return jax.shard_map(

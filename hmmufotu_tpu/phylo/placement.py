@@ -275,25 +275,34 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len,
 
 
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
-                                   "height_prior", "ml_only",
+                                   "L", "height_prior", "ml_only",
                                    "fp_pallas"))
-def place_batch_device(dt: DeviceTree, seqs: jax.Array,
+def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
                        max_error: float, W: int, C: int, n_rates: int,
-                       height_prior: bool = False,
+                       L: int, height_prior: bool = False,
                        ml_only: bool = False,
                        fp_pallas: bool = False):
     """Full SEP placement of a read batch.
 
-    seqs: [B, L] int8 aligned digital reads
+    seq_win: [B, W] int8 aligned digital reads, pre-sliced to the
+        fixed window at min(start, L-W) — the aligned region of a read
+        is far shorter than csLen, so the host ships only the window
+        (device link is thin) and the full [B, L] matrix used by the
+        seed p-dist is rebuilt device-side by scatter.
     starts/ends: [B] int32 0-based inclusive CS windows
     Pr_fn: static traced P(t) callable (see make_pr_fn)
+    L: static csLen of the tree
     Returns dict of [B, C] candidate arrays + [B, N] seed dists.
     """
-    B, L = seqs.shape
+    B = seq_win.shape[0]
     N = dt.seqs.shape[0]
     rates = dt.rates[:n_rates]
+    starts_c = jnp.minimum(starts, L - W)               # [B]
+    seqs = jax.vmap(
+        lambda w, s: jax.lax.dynamic_update_slice(
+            jnp.full((L,), -2, jnp.int8), w, (s,)))(seq_win, starts_c)
 
     # ---- seed: p-dist of every read against every node -------------------
     site_idx = jnp.arange(L)
@@ -328,18 +337,14 @@ def place_batch_device(dt: DeviceTree, seqs: jax.Array,
         # arr [N, 4, L] -> [4, W] window at start for one candidate
         return jax.lax.dynamic_slice(arr[node], (0, start), (4, W))
 
-    starts_c = jnp.minimum(starts, L - W)               # [B]
     gather = jax.vmap(jax.vmap(slice_msg, in_axes=(None, 0, None)),
                       in_axes=(None, 0, 0))
     cdtype = dt.pi.dtype
     U = gather(dt.msg_up, cand, starts_c).astype(cdtype)  # [B, C, 4, W]
     V = gather(dt.msg_down, cand, starts_c).astype(cdtype)
 
-    # leaf message of the read in the same window
-    def slice_seq(s, start):
-        return jax.lax.dynamic_slice(s, (start,), (W,))
-
-    rwin = jax.vmap(slice_seq)(seqs, starts_c)          # [B, W]
+    # leaf message of the read in the same window (= the shipped slice)
+    rwin = seq_win                                      # [B, W]
     obs = rwin >= 0
     base1h = jax.nn.one_hot(jnp.clip(rwin, 0, 3), 4,
                             dtype=dt.pi.dtype)      # [B, W, 4]
@@ -557,12 +562,32 @@ class DevicePlacer:
         qTaxon, height, annoDist, w0, valid) — a few KB instead of the
         full candidate grids, which matters when the device->host link
         is thin."""
+        seqs = np.asarray(seqs, np.int8)
+        L = seqs.shape[1]
+        sc = np.minimum(np.asarray(starts, np.int64), L - self.W)
+        wins = seqs[np.arange(len(seqs))[:, None],
+                    sc[:, None] + np.arange(self.W)]
+        return self.place_batch_win(wins, starts, ends, max_diff,
+                                    max_height, max_error, height_prior,
+                                    ml_only, summary_only)
+
+    def place_batch_win(self, seq_wins: np.ndarray, starts: np.ndarray,
+                        ends: np.ndarray, max_diff: float = math.inf,
+                        max_height: float = math.inf,
+                        max_error: float = 20.0,
+                        height_prior: bool = False,
+                        ml_only: bool = False,
+                        summary_only: bool = False) -> dict:
+        """place_batch on pre-sliced [B, W] windows (the window starts
+        at min(start, csLen-W)); only W bytes/read cross the host link.
+        """
         ends = np.minimum(ends, starts + self.W - 1)
         out = place_batch_device(
-            self.dt, jnp.asarray(seqs, jnp.int8),
+            self.dt, jnp.asarray(seq_wins, jnp.int8),
             jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
             self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
-            self.n_rates, height_prior, ml_only, self.fp_pallas)
+            self.n_rates, self.tree.cs_len, height_prior, ml_only,
+            self.fp_pallas)
         if summary_only:
             return {"summary": np.asarray(out["summary"])}
         return {k: np.asarray(v) for k, v in out.items()}

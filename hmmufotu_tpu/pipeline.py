@@ -234,6 +234,16 @@ def aln_to_digital(tree: PTUnrooted, aln: HmmAlignment) -> np.ndarray:
     return DNA.encode_upper(aln.align)
 
 
+def aln_to_digital_win(aln: HmmAlignment, sc: int, W: int) -> np.ndarray:
+    """Encode only the W-wide window of the alignment string starting
+    at 0-based CS position sc — everything outside [cs_start, cs_end]
+    is '.' pad (GAP_BASE) anyway, so the window plus a device-side
+    scatter reproduces aln_to_digital exactly at ~W/csLen the host
+    encode + transfer cost."""
+    from .alphabet import DNA
+    return DNA.encode_upper(aln.align[sc:sc + W])
+
+
 def get_seed(tree: PTUnrooted, seq: np.ndarray, start: int, end: int,
              max_diff: float = math.inf,
              max_height: float = math.inf,
@@ -423,7 +433,8 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
     """
     B = len(alns)
     L = tree.cs_len
-    seqs = np.full((B, L), -2, dtype=np.int8)
+    W = placer.W
+    seqs = np.full((B, W), -2, dtype=np.int8)
     starts = np.zeros(B, dtype=np.int32)
     ends = np.zeros(B, dtype=np.int32)
     valid = np.zeros(B, dtype=bool)
@@ -431,9 +442,9 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
         if not aln.is_valid():
             continue
         valid[r] = True
-        seqs[r] = aln_to_digital(tree, aln)
         starts[r] = aln.cs_start - 1
         ends[r] = aln.cs_end - 1
+        seqs[r] = aln_to_digital_win(aln, min(int(starts[r]), L - W), W)
     if mesh is not None:
         # data-parallel placement over the mesh (reads sharded,
         # DeviceTree replicated); pad the batch to the shard multiple
@@ -442,7 +453,7 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
         Bp = (B + n_dev - 1) // n_dev * n_dev
         if Bp != B:
             seqs = np.concatenate(
-                [seqs, np.full((Bp - B, L), -2, np.int8)])
+                [seqs, np.full((Bp - B, W), -2, np.int8)])
             starts = np.concatenate(
                 [starts, np.zeros(Bp - B, np.int32)])
             ends = np.concatenate(
@@ -452,10 +463,10 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
             mesh, placer, seqs, starts, ends, max_diff, max_height,
             max_error, prior_type == "height", ml_only))[:B]
     else:
-        out = placer.place_batch(seqs, starts, ends, max_diff,
-                                 max_height, max_error,
-                                 height_prior=(prior_type == "height"),
-                                 ml_only=ml_only, summary_only=True)
+        out = placer.place_batch_win(seqs, starts, ends, max_diff,
+                                     max_height, max_error,
+                                     height_prior=(prior_type == "height"),
+                                     ml_only=ml_only, summary_only=True)
         s = out["summary"]
 
     results: list[PTPlacement | None] = []
