@@ -123,7 +123,8 @@ def sharded_place_batch(mesh: Mesh, placer, seqs, starts, ends,
         out = place_batch_device(
             placer.dt, seqs_l, starts_l, ends_l, placer.pr_fn,
             max_diff, max_height, max_error, placer.W, placer.C,
-            placer.n_rates, L, height_prior, ml_only, placer.fp_pallas)
+            placer.n_rates, L, height_prior, ml_only, placer.fp_pallas,
+            placer.sep_pallas, placer.eig)
         return out["summary"]
 
     return jax.shard_map(

@@ -599,3 +599,42 @@ def save_model(model: SubModel, path_or_stream):
             model.write(fh)
     else:
         model.write(path_or_stream)
+
+
+def eig_tensors(model: SubModel):
+    """(U, U_1, lam) spectral form of ANY reference model.
+
+    Every reference substitution model (src/JC69.h .. src/GTR.h) is
+    time-reversible, so P(v) = U exp(diag(lam) v) U^-1 exists with a
+    well-conditioned symmetric eigendecomposition (same construction
+    as GTR._set_q_from_params).  Used by the fused device placement
+    kernel, which evaluates all models through the one spectral path
+    instead of per-model closed forms.
+    """
+    if isinstance(model, GTR):
+        return model.U, model.U_1, model.lam
+    pi = np.asarray(model.pi, dtype=np.float64)
+    R = np.ones((4, 4)) - np.eye(4)
+    if isinstance(model, K80) or isinstance(model, HKY85):
+        k = model.kappa
+        R[A, G] = R[G, A] = R[C, T] = R[T, C] = k
+    elif isinstance(model, TN93):
+        R[A, G] = R[G, A] = model.kr
+        R[C, T] = R[T, C] = model.ky
+    if isinstance(model, K80):
+        # the reference K80 closed form (K80.h) is parametrized with
+        # raw rates beta (transversion) / kappa*beta (transition),
+        # beta = 1/(2 kappa) — NOT unit-substitution scaled and with
+        # no pi factor
+        Q = R * model.beta
+        np.fill_diagonal(Q, 0.0)
+        np.fill_diagonal(Q, -Q.sum(axis=1))
+    else:
+        Q = R * pi[None, :]
+        np.fill_diagonal(Q, 0.0)
+        np.fill_diagonal(Q, -Q.sum(axis=1))
+        Q = SubModel.scale_q(Q, pi)
+    d = np.sqrt(pi)
+    B = (Q * d[:, None]) / d[None, :]
+    lam, V = np.linalg.eigh((B + B.T) / 2.0)
+    return V / d[:, None], V.T * d[None, :], lam

@@ -276,14 +276,16 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len,
 
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
                                    "L", "height_prior", "ml_only",
-                                   "fp_pallas"))
+                                   "fp_pallas", "sep_pallas"))
 def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
                        max_error: float, W: int, C: int, n_rates: int,
                        L: int, height_prior: bool = False,
                        ml_only: bool = False,
-                       fp_pallas: bool = False):
+                       fp_pallas: bool = False,
+                       sep_pallas: bool = False,
+                       eig=None):
     """Full SEP placement of a read batch.
 
     seq_win: [B, W] int8 aligned digital reads, pre-sliced to the
@@ -411,6 +413,20 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     live = take_c(live)
 
     # ---- accurate joint 3-branch optimization ---------------------------
+    if sep_pallas:
+        # entire convergence loop fused into ONE Pallas kernel — the
+        # XLA while_loop below issues 10s of kernels per iteration,
+        # which is dispatch-bound on a remote-tunneled TPU
+        from .pallas_place import sep_optimize_pallas
+        wur_f, wvr_f, wnr_f, ll = sep_optimize_pallas(
+            U, V, Nl, site_ok_c, w0, wur0, wnr0, live,
+            eig[0], eig[1], eig[2], dt.log_pi, dt.rates, n_rates,
+            interpret=jax.default_backend() != "tpu")
+        loglik = jnp.where(live, ll, -INF)
+        return _finish_placement(
+            dt, cand, c_dist, live, w0, wur_f, wvr_f, wnr_f, loglik,
+            est_loglik_k, max_height, height_prior, ml_only)
+
     def outer_cond(state):
         wur, wvr, wnr, wur_p, wnr_p, it, done = state
         return (~done).any() & (it < MAX_ITER)
@@ -447,6 +463,14 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     loglik = jnp.where(site_ok_c, cols, 0.0).sum(-1)
     loglik = jnp.where(live, loglik, -INF)
 
+    return _finish_placement(
+        dt, cand, c_dist, live, w0, wur_f, wvr_f, wnr_f, loglik,
+        est_loglik_k, max_height, height_prior, ml_only)
+
+
+def _finish_placement(dt: DeviceTree, cand, c_dist, live, w0,
+                      wur_f, wvr_f, wnr_f, loglik, est_loglik_k,
+                      max_height, height_prior, ml_only):
     # ---- device Q values + best-placement summary -----------------------
     # (calcQValues, HmmUFOtu_main.cpp:182-216, with taxon grouping via
     # dense anno ids)
@@ -531,14 +555,18 @@ class DevicePlacer:
 
     def __init__(self, tree: PTUnrooted, window: int = 512,
                  max_nseed: int = 50, dtype=jnp.float32,
-                 msg_dtype=None, fp_pallas: bool | None = None):
+                 msg_dtype=None, fp_pallas: bool | None = None,
+                 sep_pallas: bool | None = None):
         self.tree = tree
         self.W = min(window, tree.cs_len)
         self.C = max_nseed
-        # single-kernel Pallas fixed point on real TPUs; the XLA
-        # while_loop everywhere else (interpret mode is slow)
-        self.fp_pallas = (jax.default_backend() == "tpu") \
-            if fp_pallas is None else fp_pallas
+        # single-kernel Pallas optimization loops on real TPUs; the
+        # XLA while_loop everywhere else (interpret mode is slow).
+        # sep_pallas fuses the WHOLE 3-branch optimization (subsuming
+        # fp_pallas, which only fuses the inner fixed points).
+        on_tpu = jax.default_backend() == "tpu"
+        self.fp_pallas = on_tpu if fp_pallas is None else fp_pallas
+        self.sep_pallas = on_tpu if sep_pallas is None else sep_pallas
         self.dt = DeviceTree.from_tree(tree, dtype, msg_dtype)
         if tree.model.name == "GTR":
             tensors = (jnp.asarray(tree.model.U, dtype),
@@ -547,6 +575,9 @@ class DevicePlacer:
             self.pr_fn = make_pr_fn(tensors, "eig", dtype)
         else:
             self.pr_fn = make_pr_fn(tree.model, "closed", dtype)
+        from .models import eig_tensors
+        self.eig = tuple(jnp.asarray(t, dtype)
+                         for t in eig_tensors(tree.model))
         self.n_rates = 1 if tree.dg is None else len(tree.dg.rates)
 
     def place_batch(self, seqs: np.ndarray, starts: np.ndarray,
@@ -587,7 +618,7 @@ class DevicePlacer:
             jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
             self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
             self.n_rates, self.tree.cs_len, height_prior, ml_only,
-            self.fp_pallas)
+            self.fp_pallas, self.sep_pallas, self.eig)
         if summary_only:
             return {"summary": np.asarray(out["summary"])}
         return {k: np.asarray(v) for k, v in out.items()}

@@ -174,6 +174,50 @@ class TestDevicePlacement:
             assert out["loglik"][r].max() == pytest.approx(
                 places[0].loglik, rel=1e-3, abs=0.5)
 
+    def test_fused_sep_kernel_matches_xla(self, db_prefix):
+        """The single-kernel Pallas 3-branch optimization
+        (phylo/pallas_place.py, interpret mode on CPU) must agree
+        with the XLA while_loop path lane for lane."""
+        from hmmufotu_tpu.db import Database
+        from hmmufotu_tpu.phylo.placement import DevicePlacer
+        tree = Database.load(db_prefix).ptu
+        rng = np.random.default_rng(3)
+        leaves = [u for u in range(tree.num_nodes)
+                  if tree.is_leaf(u) and tree.msa_id[u] >= 0]
+        B = 4
+        seqs = np.full((B, tree.cs_len), -2, dtype=np.int8)
+        starts = np.zeros(B, np.int32)
+        ends = np.zeros(B, np.int32)
+        for r in range(B):
+            u = int(rng.choice(leaves))
+            codes = tree.seqs[u]
+            pos = np.nonzero(codes >= 0)[0]
+            st = int(rng.integers(0, max(1, len(pos) - 210)))
+            w = pos[st:st + 200]
+            piece = codes[w].copy()
+            mut = rng.random(len(piece)) < 0.02
+            piece[mut] = rng.integers(0, 4, int(mut.sum()))
+            seqs[r, w] = piece
+            starts[r], ends[r] = w[0], w[-1]
+        px = DevicePlacer(tree, window=256, max_nseed=20,
+                          sep_pallas=False, fp_pallas=False)
+        pk = DevicePlacer(tree, window=256, max_nseed=20,
+                          sep_pallas=True)
+        ox = px.place_batch(seqs, starts, ends)
+        ok = pk.place_batch(seqs, starts, ends)
+        np.testing.assert_array_equal(ox["cand"], ok["cand"])
+        live = ox["live"]
+        np.testing.assert_allclose(ox["ratio"][live], ok["ratio"][live],
+                                   atol=2e-3)
+        np.testing.assert_allclose(ox["wnr"][live], ok["wnr"][live],
+                                   atol=2e-3)
+        np.testing.assert_allclose(ox["loglik"][live],
+                                   ok["loglik"][live],
+                                   rtol=1e-4, atol=0.5)
+        # best-placement summaries pick the same nodes
+        np.testing.assert_array_equal(ox["summary"][:, :3],
+                                      ok["summary"][:, :3])
+
 
 class TestOTUTable:
     def test_roundtrip_and_ops(self, tmp_path):
