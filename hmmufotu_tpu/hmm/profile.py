@@ -691,6 +691,102 @@ def get_padding_seq(n: int, insert: str, pad_ch: str, mode: str) -> str:
     raise ValueError(f"unknown padding mode {mode}")
 
 
+def build_global_align_path(hmm: ProfileHMM, seq: str,
+                            states: "np.ndarray",
+                            aln_start: int, aln_end: int,
+                            aln_from: int, aln_to: int,
+                            min_score: float) -> HmmAlignment:
+    """Vectorized build_global_align on a NUMERIC state path.
+
+    states: forward-order uint8 array over {1=M, 2=I, 3=D} (B/E
+    implied).  Byte-identical to build_global_align on the equivalent
+    trace string (cross-checked in tests) but scatters match/delete
+    columns with numpy instead of a per-character Python loop — this
+    is the batch hot path of the aligner (reference buildGlobalAlign,
+    BandedHMMP7.cpp:1008-1081).
+    """
+    import numpy as np
+    L = hmm.L
+    p2c = hmm.profile2cs
+    cs_start = int(p2c[aln_start])
+    cs_end = int(p2c[aln_end])
+    sb = np.frombuffer(seq.encode("latin-1"), np.uint8)
+    out = np.full(L, ord("."), np.uint8)
+
+    # prefix / suffix pads (get_padding_seq right/left semantics)
+    npref = cs_start - 1
+    seq_n = sb[: aln_from - 1]
+    if npref > 0:
+        if len(seq_n) >= npref:
+            out[:npref] = seq_n[len(seq_n) - npref:]
+        elif len(seq_n):
+            out[npref - len(seq_n):npref] = seq_n
+    nsuf = L - cs_end
+    seq_c = sb[aln_to:]
+    if nsuf > 0:
+        if len(seq_c) >= nsuf:
+            out[cs_end:] = seq_c[:nsuf]
+        elif len(seq_c):
+            out[cs_end:cs_end + len(seq_c)] = seq_c
+
+    # interior default: every aligned column and inter-column gap
+    # is '-' unless a match/insert character lands on it
+    out[cs_start - 1:cs_end] = ord("-")
+
+    is_m = states == 1
+    is_i = states == 2
+    is_d = states == 3
+    k_ev = aln_start - 1 + np.cumsum(is_m | is_d)
+    j_ev = aln_from - 1 + np.cumsum(is_m | is_i)
+    mt = np.nonzero(is_m)[0]
+    out[p2c[k_ev[mt]] - 1] = sb[j_ev[mt] - 1]
+
+    # insert runs flush (justified) into the gap before the NEXT
+    # match state, replicating the trace-string walker exactly:
+    # only the last run before an M survives, trailing runs are
+    # dropped, and the first trace element never flushes
+    if is_i.any():
+        ii = np.nonzero(is_i)[0]
+        run_s = ii[np.r_[True, np.diff(ii) > 1]]
+        run_e = ii[np.r_[np.diff(ii) > 1, True]]
+        n_ev = len(states)
+        # next M event index at or after each position
+        next_m = np.full(n_ev + 1, n_ev, np.int64)
+        for t in range(n_ev - 1, -1, -1):
+            next_m[t] = t if is_m[t] else next_m[t + 1]
+        for s0, e0 in zip(run_s, run_e):
+            t = int(next_m[e0 + 1])
+            if t >= n_ev or t == 0:
+                continue
+            km = int(k_ev[t])
+            if km <= 1:
+                continue
+            w = int(p2c[km] - p2c[km - 1] - 1)
+            if w <= 0:
+                continue
+            ins = sb[j_ev[s0:e0 + 1] - 1].copy()
+            up = (ins >= 65) & (ins <= 90)
+            ins[up] += 32
+            ln = len(ins)
+            if ln >= w:
+                head = w // 2
+                tail = w - head
+                reg = np.concatenate([ins[:head], ins[ln - tail:]])
+            else:
+                head = ln // 2
+                tail = (ln + 1) // 2
+                reg = np.full(w, ord("-"), np.uint8)
+                reg[:head] = ins[:head]
+                if tail:
+                    reg[w - tail:] = ins[:tail]
+            base = int(p2c[km - 1])
+            out[base:base + w] = reg
+
+    align = out.tobytes().decode("latin-1")
+    return HmmAlignment(hmm.K, L, aln_from, aln_to, aln_start, aln_end,
+                        cs_start, cs_end, min_score, align)
+
+
 def build_global_align(hmm: ProfileHMM, seq: str, trace: str,
                        aln_start: int, aln_end: int,
                        aln_from: int, aln_to: int,

@@ -526,22 +526,20 @@ class ViterbiAligner:
             # in-kernel traceback: mi holds the packed state strings,
             # mj the (aln_start, aln_end, aln_from, aln_to) bounds
             from .pallas_viterbi import unpack_emits
+            from .profile import build_global_align_path
             t = time.time()
             emits = unpack_emits(np.asarray(mi))
             bounds = np.asarray(mj).astype(np.int32)
             t = _tick("trace_dl", t)
-            codes_str = "BMIDE"
             for r in range(B):
                 if not np.isfinite(score_h[r]):
                     alns.append(HmmAlignment())
                     continue
-                path = emits[r][emits[r] != 5]
-                trace = "".join(codes_str[c] for c in path[::-1])
-                if not trace.startswith("B"):
-                    trace = "B" + trace
-                trace += "E"
-                alns.append(build_global_align(
-                    hmm, seqs[r], trace, int(bounds[r, 0]),
+                path = emits[r][emits[r] != 5][::-1]   # forward order
+                if path.size and path[0] == 0:
+                    path = path[1:]                    # implied B
+                alns.append(build_global_align_path(
+                    hmm, seqs[r], path, int(bounds[r, 0]),
                     int(bounds[r, 1]), int(bounds[r, 2]),
                     int(bounds[r, 3]), float(score_h[r])))
             _tick("host_build", t)

@@ -602,6 +602,24 @@ class DevicePlacer:
                                     max_height, max_error, height_prior,
                                     ml_only, summary_only)
 
+    def dispatch_win(self, seq_wins: np.ndarray, starts: np.ndarray,
+                     ends: np.ndarray, max_diff: float = math.inf,
+                     max_height: float = math.inf,
+                     max_error: float = 20.0,
+                     height_prior: bool = False,
+                     ml_only: bool = False) -> dict:
+        """Enqueue placement of pre-sliced [B, W] windows; returns the
+        dict of DEVICE arrays without blocking (jax dispatch is
+        asynchronous), so the caller can overlap the kernel with host
+        work and materialize later."""
+        ends = np.minimum(ends, starts + self.W - 1)
+        return place_batch_device(
+            self.dt, jnp.asarray(seq_wins, jnp.int8),
+            jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
+            self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
+            self.n_rates, self.tree.cs_len, height_prior, ml_only,
+            self.fp_pallas, self.sep_pallas, self.eig)
+
     def place_batch_win(self, seq_wins: np.ndarray, starts: np.ndarray,
                         ends: np.ndarray, max_diff: float = math.inf,
                         max_height: float = math.inf,
@@ -612,13 +630,9 @@ class DevicePlacer:
         """place_batch on pre-sliced [B, W] windows (the window starts
         at min(start, csLen-W)); only W bytes/read cross the host link.
         """
-        ends = np.minimum(ends, starts + self.W - 1)
-        out = place_batch_device(
-            self.dt, jnp.asarray(seq_wins, jnp.int8),
-            jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
-            self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
-            self.n_rates, self.tree.cs_len, height_prior, ml_only,
-            self.fp_pallas, self.sep_pallas, self.eig)
+        out = self.dispatch_win(seq_wins, starts, ends, max_diff,
+                                max_height, max_error, height_prior,
+                                ml_only)
         if summary_only:
             return {"summary": np.asarray(out["summary"])}
         return {k: np.asarray(v) for k, v in out.items()}

@@ -431,6 +431,34 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
     values (per-taxon grouping via dense anno ids) — runs in one jitted
     batch computation; only the packed [B, 12] summary is downloaded.
     """
+    if mesh is None:
+        return collect_place_batch(dispatch_place_batch(
+            tree, placer, alns, max_diff, max_height, max_error,
+            prior_type, ml_only))
+    B = len(alns)
+    seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
+    # data-parallel placement over the mesh (reads sharded,
+    # DeviceTree replicated); pad the batch to the shard multiple
+    from .parallel import sharded_place_batch
+    W = placer.W
+    n_dev = mesh.devices.size
+    Bp = (B + n_dev - 1) // n_dev * n_dev
+    if Bp != B:
+        seqs = np.concatenate(
+            [seqs, np.full((Bp - B, W), -2, np.int8)])
+        starts = np.concatenate(
+            [starts, np.zeros(Bp - B, np.int32)])
+        ends = np.concatenate(
+            [ends, np.zeros(Bp - B, np.int32)])
+    ends = np.minimum(ends, starts + placer.W - 1)
+    s = np.asarray(sharded_place_batch(
+        mesh, placer, seqs, starts, ends, max_diff, max_height,
+        max_error, prior_type == "height", ml_only))[:B]
+    return _collect_placements(s, valid, starts, ends)
+
+
+def _aln_windows(tree: PTUnrooted, placer, alns):
+    """Digital [B, W] placement windows + coords from alignments."""
     B = len(alns)
     L = tree.cs_len
     W = placer.W
@@ -445,32 +473,15 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
         starts[r] = aln.cs_start - 1
         ends[r] = aln.cs_end - 1
         seqs[r] = aln_to_digital_win(aln, min(int(starts[r]), L - W), W)
-    if mesh is not None:
-        # data-parallel placement over the mesh (reads sharded,
-        # DeviceTree replicated); pad the batch to the shard multiple
-        from .parallel import sharded_place_batch
-        n_dev = mesh.devices.size
-        Bp = (B + n_dev - 1) // n_dev * n_dev
-        if Bp != B:
-            seqs = np.concatenate(
-                [seqs, np.full((Bp - B, W), -2, np.int8)])
-            starts = np.concatenate(
-                [starts, np.zeros(Bp - B, np.int32)])
-            ends = np.concatenate(
-                [ends, np.zeros(Bp - B, np.int32)])
-        ends = np.minimum(ends, starts + placer.W - 1)
-        s = np.asarray(sharded_place_batch(
-            mesh, placer, seqs, starts, ends, max_diff, max_height,
-            max_error, prior_type == "height", ml_only))[:B]
-    else:
-        out = placer.place_batch_win(seqs, starts, ends, max_diff,
-                                     max_height, max_error,
-                                     height_prior=(prior_type == "height"),
-                                     ml_only=ml_only, summary_only=True)
-        s = out["summary"]
+    return seqs, starts, ends, valid
 
+
+def _collect_placements(summary, valid, starts, ends):
+    """Materialize a [B, 12] placement summary (device array or
+    numpy) into per-read PTPlacement rows."""
+    s = np.asarray(summary)
     results: list[PTPlacement | None] = []
-    for r in range(B):
+    for r in range(len(valid)):
         if not valid[r] or s[r, 11] == 0:
             results.append(None)
             continue
@@ -482,6 +493,30 @@ def assign_batch_device(tree: PTUnrooted, placer, alns,
             float(s[r, 6]), float(s[r, 7]))
         results.append(place)
     return results
+
+
+def dispatch_place_batch(tree: PTUnrooted, placer, alns,
+                         max_diff: float = math.inf,
+                         max_height: float = math.inf,
+                         max_error: float = DEFAULT_MAX_PLACE_ERROR,
+                         prior_type: str = "uniform",
+                         ml_only: bool = False):
+    """Enqueue batched SEP placement WITHOUT blocking; returns a
+    handle for collect_place_batch.  Lets a streaming caller overlap
+    the placement kernel of batch k with the host stages of batch
+    k+1 (jax dispatch is asynchronous)."""
+    seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
+    out = placer.dispatch_win(seqs, starts, ends, max_diff, max_height,
+                              max_error,
+                              height_prior=(prior_type == "height"),
+                              ml_only=ml_only)
+    return out["summary"], valid, starts, ends
+
+
+def collect_place_batch(handle):
+    """Block on and decode a dispatch_place_batch handle."""
+    summary, valid, starts, ends = handle
+    return _collect_placements(summary, valid, starts, ends)
 
 
 def assign_stream(aligner: ViterbiAligner, csfm: CSFMIndex,
@@ -498,10 +533,12 @@ def assign_stream(aligner: ViterbiAligner, csfm: CSFMIndex,
                   ml_only: bool = False):
     """Double-buffered assignment over a read stream.
 
-    While batch k's host stages (traceback, alignment strings,
-    placement download) run, batch k+1's DP is already executing on
-    the device — jax dispatch is asynchronous, so the wall clock
-    approaches max(host, device) instead of their sum.
+    Two levels of host/device overlap: while batch k's host stages
+    (traceback decode, alignment strings) run, batch k+1's Viterbi DP
+    is already executing on the device; and batch k's placement
+    kernel is only materialized AFTER batch k+1's host stages, so it
+    overlaps them too — jax dispatch is asynchronous, so the wall
+    clock approaches max(host, device) instead of their sum.
 
     Yields (alignments, best_placements) per batch, in order.
     """
@@ -514,11 +551,16 @@ def assign_stream(aligner: ViterbiAligner, csfm: CSFMIndex,
         return aligner.dispatch_batch(batch, vp)
 
     pending = dispatch(batches[0]) if batches else None
+    prev = None      # (alns, undecoded placement handle) of batch k-1
     for k in range(len(batches)):
         nxt = dispatch(batches[k + 1]) if k + 1 < len(batches) else None
         alns = aligner.finalize_batch(pending)
-        best = assign_batch_device(tree, placer, alns, max_diff,
-                                   max_height, max_error, prior_type,
-                                   ml_only)
+        handle = dispatch_place_batch(tree, placer, alns, max_diff,
+                                      max_height, max_error, prior_type,
+                                      ml_only)
+        if prev is not None:
+            yield prev[0], collect_place_batch(prev[1])
+        prev = (alns, handle)
         pending = nxt
-        yield alns, best
+    if prev is not None:
+        yield prev[0], collect_place_batch(prev[1])

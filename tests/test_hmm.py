@@ -164,6 +164,55 @@ class TestViterbi:
         # most read characters should be back at match states
         assert sum(c.isupper() for c in aln.align) >= 60
 
+    def test_align_path_builder_matches_string_walker(self, hmm, msa):
+        """build_global_align_path (the vectorized numeric-path hot
+        path) must be byte-identical to the trace-string walker on
+        real traces incl. insert runs."""
+        from hmmufotu_tpu.hmm.profile import (build_global_align,
+                                              build_global_align_path)
+        from hmmufotu_tpu.hmm.viterbi import (pack_choices, traceback,
+                                              unpack_choices,
+                                              viterbi_scan, DeviceHMM)
+        import jax.numpy as jnp
+        hmm.set_sequence_mode(NGCL)
+        rng = np.random.default_rng(11)
+        reads = []
+        for i in (1, 4, 9, 12):
+            codes = msa.ds_at(i)
+            pos = np.nonzero(codes >= 0)[0]
+            piece = codes[pos[:130]].copy()
+            # random substitutions + an inserted segment to force
+            # I-run flush paths
+            mut = rng.random(len(piece)) < 0.05
+            piece[mut] = rng.integers(0, 4, int(mut.sum()))
+            s = "".join("ACGT"[c] for c in piece)
+            k = int(rng.integers(20, 100))
+            s = s[:k] + "".join(
+                "acgt"[c] for c in rng.integers(0, 4, 7)) + s[k:]
+            reads.append(s)
+        aligner = ViterbiAligner(hmm, dtype=np.float32)
+        handles = aligner.dispatch_batch(reads)
+        (seqs, B0, B, n_rows, codes_a, lengths, regions, vps,
+         score, mi, mj, choices) = handles
+        ch = unpack_choices(np.asarray(pack_choices(choices)),
+                            hmm.K + 1)
+        state_of = {"M": 1, "I": 2, "D": 3}
+        for r in range(B0):
+            trace, a_start, a_end, a_from, a_to = traceback(
+                ch[:, r], int(np.asarray(mi)[r]),
+                int(np.asarray(mj)[r]), hmm.K)
+            want = build_global_align(
+                hmm, seqs[r], trace, a_start, a_end, a_from, a_to,
+                float(np.asarray(score)[r]))
+            path = np.array([state_of[c] for c in trace
+                             if c in state_of], np.uint8)
+            got = build_global_align_path(
+                hmm, seqs[r], path, a_start, a_end, a_from, a_to,
+                float(np.asarray(score)[r]))
+            assert got.align == want.align
+            assert (got.cs_start, got.cs_end) == (want.cs_start,
+                                                  want.cs_end)
+
     def test_banded_matches_full_on_clean_read(self, hmm, msa):
         hmm.set_sequence_mode(NGCL)
         codes = msa.ds_at(2)
