@@ -172,9 +172,12 @@ def batch_find_seed_vpaths(hmm: ProfileHMM, csfm: CSFMIndex,
         valid = ((kk[None, :] < nwin[:, None]) & (offs >= 0)
                  & (lens[:, None] >= seed_len) & ~skip[:, None])
         offs_c = np.clip(offs, 0, max(Lmax - seed_len, 0))
-        win = enc[np.arange(B)[:, None, None],
-                  offs_c[:, :, None] + np.arange(seed_len)]
-        flat = win.reshape(B * Kw, seed_len)
+        # windows via a strided view + row gather (a 3-level fancy
+        # index here costs ~100x more than the whole FM search)
+        from numpy.lib.stride_tricks import sliding_window_view
+        sw = sliding_window_view(enc, seed_len, axis=1)
+        win = sw[np.arange(B)[:, None], offs_c]
+        flat = np.ascontiguousarray(win.reshape(B * Kw, seed_len))
         vmask = valid.reshape(-1)
         if not vmask.any():
             return
