@@ -327,12 +327,13 @@ def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
     """Pallas Viterbi + in-kernel traceback.
 
     Returns (score [B], emits [B, TPS] int32 nibble-packed reverse
-    state strings — decode with unpack_emits — and bounds [B, 4]
-    f32 = (aln_start, aln_end, aln_from, aln_to), 1-based).
+    state strings — decode with unpack_emits — and sb [B, 8] f32
+    with score at col 0 and (aln_start, aln_end, aln_from, aln_to)
+    1-based at cols 3:7 — one combined host download covers both).
     """
-    score, _, _, _, emits, bounds = _viterbi_pallas_full(
+    score, _, _, _, emits, sb = _viterbi_pallas_full(
         dh, codes, lengths, regions, n_rows, interpret)
-    return score, emits, bounds
+    return score, emits, sb
 
 
 def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
@@ -430,8 +431,8 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
     score = best[:, 0]
     min_i = best[:, 1].astype(jnp.int32)
     min_j = best[:, 2].astype(jnp.int32)
-    bounds = best[:, 3:7]
-    return score, min_i, min_j, packed, emits, bounds
+    sb = best[:, :8]         # score + traceback bounds in one plane
+    return score, min_i, min_j, packed, emits, sb
 
 
 def unpack_emits(emits: np.ndarray) -> np.ndarray:

@@ -491,7 +491,12 @@ class ViterbiAligner:
         t = time.time()
         jax.block_until_ready(score)
         t = _tick("dp", t)
-        score_h = np.asarray(score)
+        if traced:
+            # one combined [B, 8] fetch: score col 0, bounds cols 3:7
+            sb_h = np.asarray(mj)
+            score_h = sb_h[:, 0]
+        else:
+            score_h = np.asarray(score)
         t = _tick("scalars_dl", t)
 
         # banded failures -> full DP rerun, merged on device
@@ -510,7 +515,9 @@ class ViterbiAligner:
                     jnp.asarray(regions2), n_rows)
                 score = jnp.where(fmask, s2, score)
                 mi = jnp.where(fmask[:, None], e2, mi)      # emits
-                mj = jnp.where(fmask[:, None], b2, mj)      # bounds
+                mj = jnp.where(fmask[:, None], b2, mj)      # score+bounds
+                sb_h = np.asarray(mj)
+                score_h = sb_h[:, 0]
             else:
                 s2, i2, j2, c2 = self._run_dp(
                     jnp.asarray(codes), jnp.asarray(lengths),
@@ -519,7 +526,7 @@ class ViterbiAligner:
                 mi = jnp.where(fmask, i2, mi)
                 mj = jnp.where(fmask, j2, mj)
                 choices = jnp.where(fmask[None, :, None], c2, choices)
-            score_h = np.asarray(score)
+                score_h = np.asarray(score)
 
         alns: list[HmmAlignment] = []
         if traced:
@@ -529,7 +536,7 @@ class ViterbiAligner:
             from .profile import build_global_align_path
             t = time.time()
             emits = unpack_emits(np.asarray(mi))
-            bounds = np.asarray(mj).astype(np.int32)
+            bounds = sb_h[:, 3:7].astype(np.int32)
             t = _tick("trace_dl", t)
             for r in range(B):
                 if not np.isfinite(score_h[r]):

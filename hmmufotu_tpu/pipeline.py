@@ -536,15 +536,19 @@ def assign_stream(aligner: ViterbiAligner, csfm: CSFMIndex,
                   ml_only: bool = False):
     """Double-buffered assignment over a read stream.
 
-    Two levels of host/device overlap: while batch k's host stages
-    (traceback decode, alignment strings) run, batch k+1's Viterbi DP
-    is already executing on the device; and batch k's placement
-    kernel is only materialized AFTER batch k+1's host stages, so it
-    overlaps them too — jax dispatch is asynchronous, so the wall
-    clock approaches max(host, device) instead of their sum.
+    Three levels of overlap: batch k+1's seed search + DP dispatch
+    run in a worker thread (numpy releases the GIL for the vectorized
+    FM search) while the main thread walks batch k's host stages;
+    batch k+1's Viterbi DP executes on the device during batch k's
+    host stages; and batch k's placement kernel is only materialized
+    AFTER batch k+1's host stages, so it overlaps them too — jax
+    dispatch is asynchronous, so the wall clock approaches
+    max(host, device) instead of their sum.
 
     Yields (alignments, best_placements) per batch, in order.
     """
+    from concurrent.futures import ThreadPoolExecutor
+
     batches = [reads[lo:lo + batch_size]
                for lo in range(0, len(reads), batch_size)]
 
@@ -553,17 +557,21 @@ def assign_stream(aligner: ViterbiAligner, csfm: CSFMIndex,
                                     seed_len, seed_region, mode, rng)
         return aligner.dispatch_batch(batch, vp)
 
-    pending = dispatch(batches[0]) if batches else None
-    prev = None      # (alns, undecoded placement handle) of batch k-1
-    for k in range(len(batches)):
-        nxt = dispatch(batches[k + 1]) if k + 1 < len(batches) else None
-        alns = aligner.finalize_batch(pending)
-        handle = dispatch_place_batch(tree, placer, alns, max_diff,
-                                      max_height, max_error, prior_type,
-                                      ml_only)
+    if not batches:
+        return
+    with ThreadPoolExecutor(max_workers=1) as ex:
+        fut = ex.submit(dispatch, batches[0])
+        prev = None  # (alns, undecoded placement handle) of batch k-1
+        for k in range(len(batches)):
+            pending = fut.result()
+            fut = ex.submit(dispatch, batches[k + 1]) \
+                if k + 1 < len(batches) else None
+            alns = aligner.finalize_batch(pending)
+            handle = dispatch_place_batch(tree, placer, alns, max_diff,
+                                          max_height, max_error,
+                                          prior_type, ml_only)
+            if prev is not None:
+                yield prev[0], collect_place_batch(prev[1])
+            prev = (alns, handle)
         if prev is not None:
             yield prev[0], collect_place_batch(prev[1])
-        prev = (alns, handle)
-        pending = nxt
-    if prev is not None:
-        yield prev[0], collect_place_batch(prev[1])
