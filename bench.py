@@ -99,7 +99,7 @@ def main():
         if verbose:
             t0 = time.time()
             vpaths = pl.batch_find_seed_vpaths(aligner.hmm, csfm, batch,
-                                               rng=rng)
+                                               mode=NGCL, rng=rng)
             t1 = time.time()
             alns = aligner.align_batch(batch, vpaths)
             t2 = time.time()
@@ -109,7 +109,7 @@ def main():
             stage_t["viterbi"] += t2 - t1
             stage_t["place"] += t3 - t2
         else:
-            alns = pl.align_reads(aligner, csfm, batch, rng=rng)
+            alns = pl.align_reads(aligner, csfm, batch, mode=NGCL, rng=rng)
             best = pl.assign_batch_device(tree, placer, alns)
         return sum(b is not None for b in best)
 
@@ -134,7 +134,8 @@ def main():
         # double-buffered stream: device DP of batch k+1 overlaps the
         # host stages of batch k
         for alns, best in pl.assign_stream(
-                aligner, csfm, tree, placer, reads, BATCH, rng=rng):
+                aligner, csfm, tree, placer, reads, BATCH,
+                mode=NGCL, rng=rng):
             n_done += sum(b is not None for b in best)
     dt = time.time() - t0
     rps = n_done / dt
