@@ -27,6 +27,7 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from ..hmm.viterbi import DeviceHMM, viterbi_scan
 
 DATA_AXIS = "data"
+MODEL_AXIS = "model"
 
 
 def make_mesh(n_devices: int | None = None) -> Mesh:
@@ -134,3 +135,73 @@ def sharded_place_batch(mesh: Mesh, placer, seqs, starts, ends,
             jnp.asarray(seqs, jnp.int8),
             jnp.asarray(starts, jnp.int32),
             jnp.asarray(ends, jnp.int32))
+
+
+def sharded_place_batch_tree(mesh: Mesh, placer, seqs, starts, ends,
+                             max_diff=jnp.inf, max_height=jnp.inf,
+                             max_error=20.0, height_prior=False,
+                             ml_only=False):
+    """Tree-MODEL-parallel SEP placement: the HBM-dominant per-edge
+    message tensors ([N, 4, L] x2 — tens of GB at reference gg_97
+    scale, SURVEY.md §7 risk table) are sharded over the mesh in node
+    blocks; reads and the small per-node metadata (seqs, branch
+    lengths, taxonomy) are replicated.  Each shard runs the SAME
+    place_batch_device kernel restricted to its node block and
+    returns its candidate grid; the union grids concatenate over the
+    candidate axis for the exact host-side merge
+    (pipeline.merge_mp_candidates), which reproduces single-device
+    results because every per-candidate quantity is shard-invariant.
+
+    The mesh must be 1-D; its axis is used as the model axis here.
+
+    Returns dict of union arrays [B, C * n_shards].
+    """
+    from ..phylo.placement import place_batch_device
+
+    axis = mesh.axis_names[0]
+    n = int(mesh.devices.size)
+    dt = placer.dt
+    N = dt.seqs.shape[0]
+    L = placer.tree.cs_len
+    Nl = (N + n - 1) // n
+    Np = Nl * n
+
+    def pad_nodes(a):
+        pad = jnp.zeros((Np - N,) + a.shape[1:], a.dtype)
+        return jnp.concatenate([a, pad], axis=0)
+
+    mu = pad_nodes(dt.msg_up)
+    md = pad_nodes(dt.msg_down)
+
+    seqs = np.asarray(seqs, np.int8)
+    if seqs.shape[1] != placer.W:
+        sc = np.minimum(np.asarray(starts, np.int64), L - placer.W)
+        seqs = seqs[np.arange(len(seqs))[:, None],
+                    sc[:, None] + np.arange(placer.W)]
+    ends = np.minimum(np.asarray(ends), np.asarray(starts) + placer.W - 1)
+
+    def step(mu_l, md_l, seqs_l, st_l, en_l):
+        lo = jax.lax.axis_index(axis).astype(jnp.int32) * Nl
+        dt_l = dt._replace(msg_up=mu_l, msg_down=md_l)
+        out = place_batch_device(
+            dt_l, seqs_l, st_l, en_l, placer.pr_fn,
+            max_diff, max_height, max_error, placer.W, placer.C,
+            placer.n_rates, L, height_prior, ml_only, placer.fp_pallas,
+            placer.sep_pallas, placer.eig, node_lo=lo,
+            opt_k=placer.C)
+        f32 = lambda x: x.astype(dt.pi.dtype)
+        return (f32(out["cand"]), out["c_dist"], out["est_loglik"],
+                out["loglik"], out["ratio"], out["wnr"], out["w0"],
+                f32(out["live"]))
+
+    rep = P()
+    un = P(None, axis)
+    outs = jax.shard_map(
+        step, mesh=mesh,
+        in_specs=(P(axis), P(axis), rep, rep, rep),
+        out_specs=(un, un, un, un, un, un, un, un))(
+            mu, md, jnp.asarray(seqs, jnp.int8),
+            jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32))
+    keys = ("cand", "c_dist", "est_loglik", "loglik", "ratio", "wnr",
+            "w0", "live")
+    return {k: np.asarray(v) for k, v in zip(keys, outs)}

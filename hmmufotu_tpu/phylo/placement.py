@@ -276,7 +276,7 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len,
 
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
                                    "L", "height_prior", "ml_only",
-                                   "fp_pallas", "sep_pallas"))
+                                   "fp_pallas", "sep_pallas", "opt_k"))
 def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
@@ -285,7 +285,7 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        ml_only: bool = False,
                        fp_pallas: bool = False,
                        sep_pallas: bool = False,
-                       eig=None):
+                       eig=None, node_lo=None, opt_k: int | None = None):
     """Full SEP placement of a read batch.
 
     seq_win: [B, W] int8 aligned digital reads, pre-sliced to the
@@ -296,6 +296,12 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     starts/ends: [B] int32 0-based inclusive CS windows
     Pr_fn: static traced P(t) callable (see make_pr_fn)
     L: static csLen of the tree
+    node_lo: first GLOBAL node id whose messages this shard holds —
+        dt.msg_up/msg_down may be a node slice [Nl, 4, L] of the full
+        message tensor (tree-model parallelism: the HBM-dominant
+        tensors sharded over chips, small per-node metadata
+        replicated).  Candidates are restricted to the local slice;
+        merge across shards host-side (merge_mp_candidates).
     Returns dict of [B, C] candidate arrays + [B, N] seed dists.
     """
     B = seq_win.shape[0]
@@ -326,6 +332,12 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                      jnp.nan)                           # [B, N]
 
     eligible = (dt.parent >= 0) & (dt.heights <= max_height)
+    if node_lo is not None:
+        # tree-model parallelism: only nodes whose messages live on
+        # this shard are candidates here
+        Nl = dt.msg_up.shape[0]
+        idx = jnp.arange(N)
+        eligible = eligible & (idx >= node_lo) & (idx < node_lo + Nl)
     dist_sort = jnp.where(eligible[None, :] & ~jnp.isnan(dist), dist,
                           INF)
     neg_top, cand = jax.lax.top_k(-dist_sort, C)        # [B, C]
@@ -336,8 +348,10 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
 
     # ---- gather candidate windows ---------------------------------------
     def slice_msg(arr, node, start):
-        # arr [N, 4, L] -> [4, W] window at start for one candidate
-        return jax.lax.dynamic_slice(arr[node], (0, start), (4, W))
+        # arr [Nl, 4, L] -> [4, W] window at start for one candidate
+        # (node ids are global; the message tensor may be a shard)
+        n_l = node if node_lo is None else node - node_lo
+        return jax.lax.dynamic_slice(arr[n_l], (0, start), (4, W))
 
     gather = jax.vmap(jax.vmap(slice_msg, in_axes=(None, 0, None)),
                       in_axes=(None, 0, 0))
@@ -390,8 +404,10 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
 
     # compact to the opt_k best candidates by estimated loglik before
     # the expensive optimization (the reference's filter typically
-    # leaves only a handful of survivors; opt_k bounds the worst case)
-    opt_k = min(16, C)
+    # leaves only a handful of survivors; opt_k bounds the worst
+    # case).  Tree-model-parallel shards optimize ALL local
+    # candidates (opt_k=C) so the host merge stays exact.
+    opt_k = min(16, C) if opt_k is None else min(opt_k, C)
     _, order = jax.lax.top_k(jnp.where(live, est_loglik, -INF), opt_k)
 
     def take_c(x):

@@ -575,3 +575,121 @@ def assign_stream(aligner: ViterbiAligner, csfm: CSFMIndex,
             prev = (alns, handle)
         if prev is not None:
             yield prev[0], collect_place_batch(prev[1])
+
+
+def merge_mp_candidates(tree: PTUnrooted, union: dict, valid, starts,
+                        ends, max_diff: float = math.inf,
+                        max_height: float = math.inf,
+                        max_error: float = DEFAULT_MAX_PLACE_ERROR,
+                        prior_type: str = "uniform",
+                        ml_only: bool = False, C: int = 50):
+    """Exact merge of tree-model-parallel placement shards.
+
+    union: dict of [B, C * n_shards] candidate grids from
+    parallel.sharded_place_batch_tree.  Reconstructs the single-device
+    selection order — global top-C by (p-dist, node id), the max_diff
+    and max_error filters against the GLOBAL bests, est-ranked
+    compaction, then Q values over the survivors — from the union of
+    per-shard candidates.  Every per-candidate quantity (estimate,
+    optimized branch lengths, log-likelihood) is shard-invariant, so
+    the merged result equals the single-device kernel's.
+    """
+    cand = union["cand"].astype(np.int64)
+    cd = union["c_dist"]
+    est = union["est_loglik"]
+    ll = union["loglik"]
+    ratio = union["ratio"]
+    wnr = union["wnr"]
+    w0 = union["w0"]
+    live = union["live"] > 0.5
+    B = cand.shape[0]
+    heights = tree.heights
+    parent = tree.parent
+    anno_dist = tree.anno_dist
+    opt_k = min(16, C)
+
+    results: list[PTPlacement | None] = []
+    for r in range(B):
+        if not valid[r]:
+            results.append(None)
+            continue
+        fin = np.nonzero(np.isfinite(cd[r]))[0]
+        if fin.size == 0:
+            results.append(None)
+            continue
+        # global top-C by (dist, node id) — the device top_k order
+        order = fin[np.lexsort((cand[r, fin], cd[r, fin]))][:C]
+        order = order[cd[r, order] - cd[r, order[0]] <= max_diff]
+        e = est[r, order]
+        keep = np.isfinite(e) & (e.max() - e <= max_error)
+        order, e = order[keep], e[keep]
+        sel = np.argsort(-e, kind="stable")[:opt_k]
+        lanes = order[sel]
+        lanes = lanes[live[r, lanes] & np.isfinite(ll[r, lanes])]
+        if lanes.size == 0:
+            results.append(None)
+            continue
+        lls = ll[r, lanes]
+        c_n = cand[r, lanes]
+        p_n = parent[c_n]
+        rat = ratio[r, lanes]
+        wn = wnr[r, lanes]
+        w_0 = w0[r, lanes]
+        wur = rat * w_0
+        height_f = heights[c_n] + wur
+        a_is_c = (rat <= 0.5) | (heights[p_n] > max_height)
+        a_n = np.where(a_is_c, c_n, p_n)
+        anno_total = np.where(a_is_c, wur + wn, (w_0 - wur) + wn) \
+            + anno_dist[a_n]
+        if prior_type == "height":
+            lp = -(anno_total - wn + height_f)
+        else:
+            lp = np.zeros_like(lls)
+        pp = lls + lp
+        m = pp.max()
+        wgt = np.exp(pp - m)
+        post = wgt / wgt.sum()
+        with np.errstate(divide="ignore"):
+            q_place = np.minimum(
+                -10.0 * np.log10(np.maximum(1.0 - post, 0.0)), MAX_Q)
+        taxa = np.array([tree.anno[a] for a in a_n])
+        lse_all = m + np.log(wgt.sum())
+        q_taxon = np.empty_like(q_place)
+        for i in range(len(lanes)):
+            same = taxa == taxa[i]
+            lse_t = pp[same].max() + np.log(
+                np.exp(pp[same] - pp[same].max()).sum())
+            post_t = np.exp(lse_t - lse_all)
+            with np.errstate(divide="ignore"):
+                q_taxon[i] = min(-10.0 * np.log10(max(1.0 - post_t,
+                                                      0.0)), MAX_Q)
+        best = int(np.argmax(lls if ml_only else pp))
+        results.append(PTPlacement(
+            int(starts[r]), int(ends[r]),
+            int(c_n[best]), int(p_n[best]), int(a_n[best]),
+            float(w_0[best]), float(rat[best]), float(wn[best]),
+            float(lls[best]), float(height_f[best]),
+            float(q_place[best]), float(q_taxon[best])))
+    return results
+
+
+def assign_batch_device_tree(tree: PTUnrooted, placer, alns, mesh,
+                             max_diff: float = math.inf,
+                             max_height: float = math.inf,
+                             max_error: float = DEFAULT_MAX_PLACE_ERROR,
+                             prior_type: str = "uniform",
+                             ml_only: bool = False):
+    """Tree-MODEL-parallel batched SEP placement: the per-edge message
+    tensors are sharded over the mesh in node blocks (capacity mode
+    for reference-scale DBs whose messages exceed one chip's HBM),
+    reads replicated; per-shard candidate grids are merged exactly on
+    the host.  Returns best PTPlacement per read like
+    assign_batch_device."""
+    from .parallel import sharded_place_batch_tree
+    seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
+    union = sharded_place_batch_tree(
+        mesh, placer, seqs, starts, ends, max_diff, max_height,
+        max_error, prior_type == "height", ml_only)
+    return merge_mp_candidates(tree, union, valid, starts, ends,
+                               max_diff, max_height, max_error,
+                               prior_type, ml_only, placer.C)

@@ -75,6 +75,60 @@ print('SHARDED_PLACE_OK')
     assert "SHARDED_PLACE_OK" in res.stdout, res.stderr
 
 
+def test_tree_model_parallel_matches_single(cpu_mesh_runner):
+    """Tree-MODEL-parallel placement (message tensors sharded in node
+    blocks over the mesh) + exact host merge must reproduce the
+    single-device placement decision per read."""
+    code = """
+import os, numpy as np, jax, jax.numpy as jnp
+from hmmufotu_tpu.msa import MSA
+from hmmufotu_tpu.phylo import PTUnrooted, parse_newick, JC69
+from hmmufotu_tpu.phylo.placement import DevicePlacer
+from hmmufotu_tpu.parallel import make_mesh
+from hmmufotu_tpu.parallel.sharding import sharded_place_batch_tree
+from hmmufotu_tpu import pipeline as pl
+FIX = os.path.join("tests", "fixtures")
+msa = MSA.load_fasta(os.path.join(FIX, "70_otus.fasta")).prune()
+tree = PTUnrooted.from_newick(parse_newick(open(os.path.join(FIX, "70_otus.tree")).read()))
+tree.load_msa(msa); tree.fix_branch_length(1e-5); tree.calc_node_height()
+tree.load_annotation(os.path.join(FIX, "70_otus_taxonomy.txt"))
+tree.format_name(); tree.annotate()
+tree.model = JC69(); tree.evaluate(); tree.infer_seq()
+rng = np.random.default_rng(5)
+leaves = [u for u in range(tree.num_nodes) if tree.is_leaf(u) and tree.msa_id[u] >= 0]
+B = 16
+seqs = np.full((B, tree.cs_len), -2, np.int8)
+starts = np.zeros(B, np.int32); ends = np.zeros(B, np.int32)
+for r in range(B):
+    u = int(rng.choice(leaves)); codes = tree.seqs[u]
+    pos = np.nonzero(codes >= 0)[0]
+    st = int(rng.integers(0, max(1, len(pos)-210)))
+    w = pos[st:st+200]
+    piece = codes[w].copy()
+    mut = rng.random(len(piece)) < 0.03
+    piece[mut] = rng.integers(0, 4, int(mut.sum()))
+    seqs[r, w] = piece; starts[r], ends[r] = w[0], w[-1]
+placer = DevicePlacer(tree, window=256, max_nseed=24)
+single = placer.place_batch(seqs, starts, ends, summary_only=True)["summary"]
+mesh = make_mesh(8)
+union = sharded_place_batch_tree(mesh, placer, seqs, starts, ends)
+assert union["cand"].shape == (B, 24 * 8)
+merged = pl.merge_mp_candidates(tree, union, np.ones(B, bool), starts,
+                                ends, C=24)
+for r in range(B):
+    p = merged[r]
+    assert p is not None
+    assert p.c_node == int(single[r, 0]), (r, p.c_node, single[r, 0])
+    assert p.a_node == int(single[r, 2])
+    np.testing.assert_allclose(p.loglik, single[r, 5], rtol=1e-5)
+    np.testing.assert_allclose(p.q_place, single[r, 6], atol=0.05)
+    np.testing.assert_allclose(p.q_taxon, single[r, 7], atol=0.05)
+print('TREE_MP_OK')
+"""
+    res = cpu_mesh_runner(code, timeout=500)
+    assert "TREE_MP_OK" in res.stdout, res.stderr
+
+
 def test_assign_cli_mesh(cpu_mesh_runner, tmp_path):
     """assign --mesh end-to-end on the 8-device CPU mesh."""
     code = f"""
