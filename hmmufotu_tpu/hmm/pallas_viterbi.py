@@ -338,12 +338,20 @@ def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
 
 def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
                          n_rows: int, interpret: bool = False):
-    B = codes.shape[0]
+    B0 = codes.shape[0]
     K = dh.K
     KP = _round_up(K + 2, 128)
     R = READS_PER_PROGRAM
-    if B % R:
-        raise ValueError(f"batch {B} must be a multiple of {R}")
+    B = _round_up(B0, R)
+    if B != B0:
+        codes = jnp.concatenate(
+            [codes, jnp.zeros((B - B0,) + codes.shape[1:],
+                              codes.dtype)])
+        lengths = jnp.concatenate(
+            [lengths, jnp.ones((B - B0,), lengths.dtype)])
+        regions = jnp.concatenate(
+            [regions, jnp.zeros((B - B0,) + regions.shape[1:],
+                                regions.dtype)])
     if n_rows % PACK_ROWS:
         raise ValueError(f"n_rows {n_rows} must be a multiple of "
                          f"{PACK_ROWS}")
@@ -428,6 +436,9 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         interpret=interpret,
     )(codes_i, scal, meta, tc, em)
 
+    packed = packed[:, :B0]
+    best = best[:B0]
+    emits = emits[:B0]
     score = best[:, 0]
     min_i = best[:, 1].astype(jnp.int32)
     min_j = best[:, 2].astype(jnp.int32)

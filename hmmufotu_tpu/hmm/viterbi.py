@@ -441,7 +441,11 @@ class ViterbiAligner:
         if vpaths_per_read is None:
             vpaths_per_read = [None] * B0
         # pad the batch to a multiple of the pallas reads-per-program
-        B = (B0 + 7) // 8 * 8 if self.kernel == "pallas" else B0
+        if self.kernel == "pallas":
+            from .pallas_viterbi import READS_PER_PROGRAM as RPP
+            B = (B0 + RPP - 1) // RPP * RPP
+        else:
+            B = B0
         if B != B0:
             seqs = list(seqs) + [seqs[0]] * (B - B0)
             vpaths_per_read = list(vpaths_per_read) \
