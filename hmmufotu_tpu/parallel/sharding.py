@@ -120,12 +120,15 @@ def sharded_place_batch(mesh: Mesh, placer, seqs, starts, ends,
         seqs = seqs[np.arange(len(seqs))[:, None],
                     sc[:, None] + np.arange(placer.W)]
 
+    s0, Ws = placer.union_window(starts)
+
     def step(seqs_l, starts_l, ends_l):
         out = place_batch_device(
             placer.dt, seqs_l, starts_l, ends_l, placer.pr_fn,
             max_diff, max_height, max_error, placer.W, placer.C,
             placer.n_rates, L, height_prior, ml_only, placer.fp_pallas,
-            placer.sep_pallas, placer.eig)
+            placer.sep_pallas, placer.eig,
+            s0=jnp.asarray(s0, jnp.int32), Ws=Ws)
         return out["summary"]
 
     return jax.shard_map(
@@ -180,6 +183,8 @@ def sharded_place_batch_tree(mesh: Mesh, placer, seqs, starts, ends,
                     sc[:, None] + np.arange(placer.W)]
     ends = np.minimum(np.asarray(ends), np.asarray(starts) + placer.W - 1)
 
+    s0, Ws = placer.union_window(starts)
+
     def step(mu_l, md_l, seqs_l, st_l, en_l):
         lo = jax.lax.axis_index(axis).astype(jnp.int32) * Nl
         dt_l = dt._replace(msg_up=mu_l, msg_down=md_l)
@@ -188,7 +193,7 @@ def sharded_place_batch_tree(mesh: Mesh, placer, seqs, starts, ends,
             max_diff, max_height, max_error, placer.W, placer.C,
             placer.n_rates, L, height_prior, ml_only, placer.fp_pallas,
             placer.sep_pallas, placer.eig, node_lo=lo,
-            opt_k=placer.C)
+            opt_k=placer.C, s0=jnp.asarray(s0, jnp.int32), Ws=Ws)
         f32 = lambda x: x.astype(dt.pi.dtype)
         return (f32(out["cand"]), out["c_dist"], out["est_loglik"],
                 out["loglik"], out["ratio"], out["wnr"], out["w0"],

@@ -276,7 +276,8 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len,
 
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
                                    "L", "height_prior", "ml_only",
-                                   "fp_pallas", "sep_pallas", "opt_k"))
+                                   "fp_pallas", "sep_pallas", "opt_k",
+                                   "Ws"))
 def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
@@ -285,7 +286,8 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        ml_only: bool = False,
                        fp_pallas: bool = False,
                        sep_pallas: bool = False,
-                       eig=None, node_lo=None, opt_k: int | None = None):
+                       eig=None, node_lo=None, opt_k: int | None = None,
+                       s0=None, Ws: int | None = None):
     """Full SEP placement of a read batch.
 
     seq_win: [B, W] int8 aligned digital reads, pre-sliced to the
@@ -308,22 +310,32 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     N = dt.seqs.shape[0]
     rates = dt.rates[:n_rates]
     starts_c = jnp.minimum(starts, L - W)               # [B]
-    seqs = jax.vmap(
-        lambda w, s: jax.lax.dynamic_update_slice(
-            jnp.full((L,), -2, jnp.int8), w, (s,)))(seq_win, starts_c)
+    if Ws is None:
+        Ws = L
+    if s0 is None:
+        s0 = jnp.zeros((), jnp.int32)
 
     # ---- seed: p-dist of every read against every node -------------------
-    site_idx = jnp.arange(L)
-    win = (site_idx[None, :] >= starts[:, None]) \
-        & (site_idx[None, :] <= ends[:, None])          # [B, L]
-    q_valid = (seqs >= 0) & win
-    n_valid = dt.seqs[None, :, :] >= 0                  # [1, N, L]
-    # mismatch counting via one-hot matmuls keeps the [B,L]x[N,L]
-    # reduction on the MXU instead of a [B,N,L] broadcast
-    q1h = jax.nn.one_hot(jnp.where(q_valid, seqs, 4), 5,
-                         dtype=dt.pi.dtype)[:, :, :4]   # [B, L, 4]
-    n1h = jax.nn.one_hot(jnp.where(n_valid[0], dt.seqs, 4), 5,
-                         dtype=dt.pi.dtype)[:, :, :4]   # [N, L, 4]
+    # computed over the batch's UNION site window [s0, s0+Ws) only —
+    # every read's own [start, end] range lies inside it, so this is
+    # exact while cutting the reduction from csLen to the amplicon
+    # span (the dominant FLOP count at reference gg_97 tree scale)
+    seqs_w = jax.vmap(
+        lambda w, s: jax.lax.dynamic_update_slice(
+            jnp.full((Ws,), -2, jnp.int8), w, (s,)))(
+                seq_win, starts_c - s0)                 # [B, Ws]
+    nseqs_w = jax.lax.dynamic_slice(dt.seqs, (0, s0), (N, Ws))
+    site_idx = jnp.arange(Ws)[None, :] + s0
+    win = (site_idx >= starts[:, None]) \
+        & (site_idx <= ends[:, None])                   # [B, Ws]
+    q_valid = (seqs_w >= 0) & win
+    n_valid = nseqs_w >= 0                              # [N, Ws]
+    # mismatch counting via one-hot matmuls keeps the [B,Ws]x[N,Ws]
+    # reduction on the MXU instead of a [B,N,Ws] broadcast
+    q1h = jax.nn.one_hot(jnp.where(q_valid, seqs_w, 4), 5,
+                         dtype=dt.pi.dtype)[:, :, :4]   # [B, Ws, 4]
+    n1h = jax.nn.one_hot(jnp.where(n_valid, nseqs_w, 4), 5,
+                         dtype=dt.pi.dtype)[:, :, :4]   # [N, Ws, 4]
     match = jnp.einsum("blk,nlk->bn", q1h, n1h,
                        precision=jax.lax.Precision.HIGHEST)
     both = jnp.einsum("bl,nl->bn", q1h.sum(-1), n1h.sum(-1),
@@ -629,12 +641,31 @@ class DevicePlacer:
         asynchronous), so the caller can overlap the kernel with host
         work and materialize later."""
         ends = np.minimum(ends, starts + self.W - 1)
+        s0, Ws = self.union_window(starts)
         return place_batch_device(
             self.dt, jnp.asarray(seq_wins, jnp.int8),
             jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
             self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
             self.n_rates, self.tree.cs_len, height_prior, ml_only,
-            self.fp_pallas, self.sep_pallas, self.eig)
+            self.fp_pallas, self.sep_pallas, self.eig,
+            s0=jnp.asarray(s0, jnp.int32), Ws=Ws)
+
+    def union_window(self, starts) -> tuple[int, int]:
+        """(s0, Ws) covering every read's site window in the batch.
+
+        Ws is bucketed to multiples of W (capped at csLen) so amplicon
+        batches — whose reads share a primer-anchored span — reuse one
+        jit specialization; the seed p-dist then reduces over Ws
+        instead of csLen sites, which is the dominant FLOP count for
+        reference-scale trees."""
+        L = self.tree.cs_len
+        starts = np.asarray(starts, np.int64)
+        sc = np.minimum(starts, L - self.W)
+        lo = int(sc.min()) if len(starts) else 0
+        span = (int(sc.max()) if len(starts) else 0) + self.W - lo
+        Ws = min((span + self.W - 1) // self.W * self.W, L)
+        s0 = max(0, min(lo, L - Ws))
+        return s0, Ws
 
     def place_batch_win(self, seq_wins: np.ndarray, starts: np.ndarray,
                         ends: np.ndarray, max_diff: float = math.inf,
