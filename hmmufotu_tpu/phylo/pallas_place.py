@@ -42,7 +42,7 @@ from jax.experimental.pallas import tpu as pltpu
 from .tree import BRANCH_EPS, MAX_ITER
 
 INF = jnp.inf
-LANES_PER_PROGRAM = 32
+LANES_PER_PROGRAM = 8
 N_MODEL_SCALARS = 64
 # model_s layout: [0:16] U row-major, [16:32] U^-1 row-major,
 # [32:36] lam, [36:40] log_pi, [40:48] dGamma rates
