@@ -89,28 +89,40 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
 
     lengths = meta_ref[:, 0:1]                      # [R, 1] int32
 
+    # hoist the row-invariant parts of the region masks out of the
+    # row loop: the j-rectangle test and the diagonal base jj - j_lo
+    # never change with i, so per row only two [R, KP] compares per
+    # region remain (the i-rectangle test is [R, 1])
+    reg_pre = []
+    lane_base = (jj >= 1) & lane_valid
+    for reg in range(MAX_REGIONS):
+        base = 8 + reg * REGION_WIDTH
+        j_lo = meta_ref[:, base + 0:base + 1]
+        j_hi = meta_ref[:, base + 1:base + 2]
+        i_lo = meta_ref[:, base + 2:base + 3]
+        i_hi = meta_ref[:, base + 3:base + 4]
+        ent = meta_ref[:, base + 4:base + 5]
+        diag = meta_ref[:, base + 5:base + 6]
+        lo_d = meta_ref[:, base + 6:base + 7]
+        hi_d = meta_ref[:, base + 7:base + 8]
+        jmask = (jj >= j_lo) & (jj <= j_hi) & lane_base   # [R, KP]
+        nodiag = (diag == 0) & jnp.ones((R, KP), jnp.bool_)
+        jbase = jj - j_lo                                 # [R, KP]
+        reg_pre.append((jmask, nodiag, jbase, i_lo, i_hi, lo_d, hi_d,
+                        ent == 1))
+
     def masks_for_row(i):
         allowed = jnp.zeros((R, KP), jnp.bool_)
         entry_ok = jnp.zeros((R, KP), jnp.bool_)
-        for reg in range(MAX_REGIONS):
-            base = 8 + reg * REGION_WIDTH
-            j_lo = meta_ref[:, base + 0:base + 1]
-            j_hi = meta_ref[:, base + 1:base + 2]
-            i_lo = meta_ref[:, base + 2:base + 3]
-            i_hi = meta_ref[:, base + 3:base + 4]
-            ent = meta_ref[:, base + 4:base + 5]
-            diag = meta_ref[:, base + 5:base + 6]
-            lo_d = meta_ref[:, base + 6:base + 7]
-            hi_d = meta_ref[:, base + 7:base + 8]
-            in_rect = (jj >= j_lo) & (jj <= j_hi) \
-                & (i >= i_lo) & (i <= i_hi)
-            dist = (i - i_lo) - (jj - j_lo)
-            ok_diag = (diag == 0) | ((dist >= lo_d) & (dist <= hi_d))
-            cov = in_rect & ok_diag
+        for (jmask, nodiag, jbase, i_lo, i_hi, lo_d, hi_d,
+             ent1) in reg_pre:
+            irect = (i >= i_lo) & (i <= i_hi)             # [R, 1]
+            ci = i - i_lo                                 # [R, 1]
+            ok_diag = nodiag | ((jbase <= ci - lo_d)
+                                & (jbase >= ci - hi_d))
+            cov = jmask & ok_diag & irect
             allowed = allowed | cov
-            entry_ok = entry_ok | (cov & (ent == 1))
-        allowed = allowed & (jj >= 1) & lane_valid
-        entry_ok = entry_ok & (jj >= 1) & lane_valid
+            entry_ok = entry_ok | (cov & ent1)
         return allowed, entry_ok
 
     def body(i, carry):
