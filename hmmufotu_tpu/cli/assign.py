@@ -85,7 +85,12 @@ def build_parser() -> argparse.ArgumentParser:
                    help="append to an existing output, skipping reads "
                         "already assigned (restartable batches)")
     p.add_argument("--mesh", action="store_true",
-                   help="shard placement over all local devices")
+                   help="shard placement over all local devices "
+                        "(data parallel: reads sharded, DB replicated)")
+    p.add_argument("--mesh-tree", action="store_true",
+                   help="shard the tree message tensors over all local "
+                        "devices (capacity mode for DBs whose per-edge "
+                        "messages exceed one chip's HBM)")
     p.add_argument("-v", action="count", default=0, dest="verbose")
     return p
 
@@ -190,15 +195,19 @@ def main(argv=None) -> int:
     # still uses the host path per segment)
     placer = None
     mesh = None
+    if args.mesh and args.mesh_tree:
+        log.error("--mesh and --mesh-tree are mutually exclusive")
+        return 1
     if not args.align_only:
         from ..phylo.placement import DevicePlacer
         placer = DevicePlacer(tree, max_nseed=args.max_nseed)
-        if args.mesh:
+        if args.mesh or args.mesh_tree:
             import jax
             from ..parallel import make_mesh
             mesh = make_mesh()
-            log.info("Sharding placement over %d devices",
-                     mesh.devices.size)
+            log.info("Sharding %s over %d devices",
+                     "tree messages" if args.mesh_tree
+                     else "placement reads", mesh.devices.size)
 
     strand = args.strand
     if strand == 0:
@@ -317,10 +326,16 @@ def main(argv=None) -> int:
         if not args.align_only and not args.chimera:
             place_alns = [HmmAlignment() if chim_flags[t] else aln
                           for t, aln in enumerate(alns)]
-            best_batch = pl.assign_batch_device(
-                tree, placer, place_alns, args.max_diff,
-                args.max_height, args.err, args.prior, args.ml_only,
-                mesh=mesh)
+            if args.mesh_tree:
+                best_batch = pl.assign_batch_device_tree(
+                    tree, placer, place_alns, mesh, args.max_diff,
+                    args.max_height, args.err, args.prior,
+                    args.ml_only)
+            else:
+                best_batch = pl.assign_batch_device(
+                    tree, placer, place_alns, args.max_diff,
+                    args.max_height, args.err, args.prior,
+                    args.ml_only, mesh=mesh)
 
         for t, (read, aln) in enumerate(zip(batch, alns)):
             is_chimera = chim_flags[t]

@@ -9,7 +9,9 @@ accumulators with psum collectives.
 
 from .distributed import host_shard, init_distributed
 from .sharding import (make_mesh, sharded_assign_step,
-                       sharded_otu_accumulate, sharded_place_batch)
+                       sharded_otu_accumulate, sharded_place_batch,
+                       sharded_place_batch_tree)
 
 __all__ = ["make_mesh", "sharded_assign_step", "sharded_otu_accumulate",
-           "sharded_place_batch", "init_distributed", "host_shard"]
+           "sharded_place_batch", "sharded_place_batch_tree",
+           "init_distributed", "host_shard"]

@@ -156,3 +156,39 @@ print('MESH_ASSIGN_OK')
 """
     res = cpu_mesh_runner(code, timeout=400)
     assert "MESH_ASSIGN_OK" in res.stdout, res.stderr
+
+
+def test_assign_cli_mesh_tree(cpu_mesh_runner, tmp_path):
+    """assign --mesh-tree (message tensors sharded over the mesh)
+    end-to-end, and its output rows match the single-device run."""
+    code = f"""
+import os
+os.makedirs("{tmp_path}", exist_ok=True)
+from hmmufotu_tpu.cli.build import main as build_main
+from hmmufotu_tpu.cli.sim import main as sim_main
+from hmmufotu_tpu.cli.assign import main as assign_main
+db = "{tmp_path}/db"
+assert build_main(["tests/fixtures/70_otus.fasta",
+                   "tests/fixtures/70_otus.tree",
+                   "-a", "tests/fixtures/70_otus_taxonomy.txt",
+                   "-n", db, "-s", "JC69"]) == 0
+assert sim_main([db, "{tmp_path}/r.fasta", "-N", "12", "-S", "1",
+                 "--mean-size", "250", "--sd-size", "10"]) == 0
+assert assign_main([db, "{tmp_path}/r.fasta",
+                    "-o", "{tmp_path}/mt.tsv", "-S", "1",
+                    "--mesh-tree"]) == 0
+assert assign_main([db, "{tmp_path}/r.fasta",
+                    "-o", "{tmp_path}/sd.tsv", "-S", "1"]) == 0
+def rows(p):
+    return [l for l in open(p)
+            if not l.startswith('#') and not l.startswith('id\\t')]
+mt, sd = rows("{tmp_path}/mt.tsv"), rows("{tmp_path}/sd.tsv")
+assert len(mt) == len(sd) == 12
+for a, b in zip(mt, sd):
+    # same branch, taxon id and taxon name columns
+    ca, cb = a.split('\\t'), b.split('\\t')
+    assert ca[10] == cb[10] and ca[12] == cb[12] and ca[13] == cb[13], (ca, cb)
+print('MESH_TREE_ASSIGN_OK')
+"""
+    res = cpu_mesh_runner(code, timeout=500)
+    assert "MESH_TREE_ASSIGN_OK" in res.stdout, res.stderr
