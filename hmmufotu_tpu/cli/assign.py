@@ -105,8 +105,10 @@ def place_tsv(tree, place: PTPlacement | None) -> str:
     if place is None or place.c_node < 0:
         return (f"{UNASSIGNED_ID}\tnan\t{UNASSIGNED_TAXONID}\t"
                 f"{UNASSIGNED_TAXONNAME}\tnan\tnan\tnan\tnan")
-    anno_dist = place.get_anno_dist(tree) + float(
-        tree.anno_dist[place.a_node])
+    # the reference TSV anno_dist column is the PLACEMENT distance only
+    # (PTPlacement::write, PhyloTreeUnrooted.h:1611-1616 + getAnnoDist
+    # h:466-469)
+    anno_dist = place.get_anno_dist(tree)
     return (f"{place.get_id()}\t{place.ratio:g}\t{place.a_node}\t"
             f"{tree.anno[place.a_node]}\t{anno_dist:g}\t"
             f"{place.loglik:g}\t{place.q_place:g}\t{place.q_taxon:g}")
@@ -172,7 +174,12 @@ def main(argv=None) -> int:
     argv = argv if argv is not None else sys.argv[1:]
     args = build_parser().parse_args(argv)
     setup_logging(args.verbose + 1)
-    rng = np.random.default_rng(args.seed)
+    # without -S the FM-index occurrence choice is deterministic
+    # (lexicographically first suffix), making runs reproducible by
+    # default; -S <seed> opts into reference-style random occurrence
+    # selection (CSFMIndex::locateOne rand(), CSFMIndex.cpp:121-146)
+    rng = np.random.default_rng(args.seed) if args.seed is not None \
+        else None
 
     db = Database.load(args.db)
     tree, hmm, csfm = db.ptu, db.hmm, db.csfm

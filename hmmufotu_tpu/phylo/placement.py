@@ -507,10 +507,13 @@ def _finish_placement(dt: DeviceTree, cand, c_dist, live, w0,
     height_f = dt.heights[cand] + wur_f
     a_is_c = (ratio_f <= 0.5) | (dt.heights[parent_c] > max_height)
     a_node = jnp.where(a_is_c, cand, parent_c)
-    anno_total = jnp.where(a_is_c, wur_f + wnr_f, wvr_f + wnr_f) \
-        + dt.anno_dist[a_node]
+    anno_place = jnp.where(a_is_c, wur_f + wnr_f, wvr_f + wnr_f)
+    anno_total = anno_place + dt.anno_dist[a_node]
     if height_prior:
-        log_prior = -(anno_total - wnr_f + height_f)
+        # logPriorPr HEIGHT uses the placement distance only
+        # (PhyloTreeUnrooted.cpp:1166-1177 + h:466-469); the node's own
+        # annotation distance is not part of the prior
+        log_prior = -(anno_place - wnr_f + height_f)
     else:
         log_prior = jnp.zeros_like(loglik)
     pp = jnp.where(live, loglik + log_prior, -INF)

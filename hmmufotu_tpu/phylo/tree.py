@@ -227,11 +227,12 @@ class PTPlacement:
 
     def log_prior(self, prior_type: str, tree: "PTUnrooted") -> float:
         """UNIFORM -> 0; HEIGHT -> -(annoDist - wnr + height)
-        (reference PTPlacement::logPriorPr, PhyloTreeUnrooted.cpp:1166)."""
+        (reference PTPlacement::logPriorPr, PhyloTreeUnrooted.cpp:1166;
+        getAnnoDist there is the PLACEMENT distance only,
+        PhyloTreeUnrooted.h:466-469 — the attachment node's own
+        annotation distance is NOT included)."""
         if prior_type == "height":
-            anno_dist = self.get_anno_dist(tree) + \
-                float(tree.anno_dist[self.a_node])
-            return -(anno_dist - self.wnr + self.height)
+            return -(self.get_anno_dist(tree) - self.wnr + self.height)
         return 0.0
 
 

@@ -269,9 +269,11 @@ def get_seed(tree: PTUnrooted, seq: np.ndarray, start: int, end: int,
     if locs:
         best = locs[0].dist
         worst = locs[-1].dist
+        # reference quirk (HmmUFOtu_main.cpp:143-151): the max_diff
+        # filter only runs when worst < best + max_diff; a spread wider
+        # than max_diff keeps ALL seeds
         if worst < best + max_diff:
-            pass  # reference quirk: only filters when needed
-        locs = [l for l in locs if not (l.dist - best > max_diff)]
+            locs = [l for l in locs if not (l.dist - best > max_diff)]
     if len(locs) > max_nseed:
         locs = locs[:max_nseed]   # hmmufotu.cpp:650-652
     return locs
@@ -413,10 +415,12 @@ def assign_read(tree: PTUnrooted, aln: HmmAlignment, seq: np.ndarray,
     places = place_seq(tree, seq, places, max_height)
     if not ml_only:
         calc_q_values(tree, places, prior_type)
-        places.sort(key=lambda p: (p.q_taxon, p.q_place, p.loglik))
-        return places[-1]
-    places.sort(key=lambda p: p.loglik)
-    return places[-1]
+        # reference sorts descending by qPlace and takes the top
+        # (hmmufotu.cpp:735-738, compareByQPlace)
+        places.sort(key=lambda p: -p.q_place)
+        return places[0]
+    places.sort(key=lambda p: -p.loglik)
+    return places[0]
 
 
 def assign_batch_device(tree: PTUnrooted, placer, alns,
@@ -605,7 +609,6 @@ def merge_mp_candidates(tree: PTUnrooted, union: dict, valid, starts,
     B = cand.shape[0]
     heights = tree.heights
     parent = tree.parent
-    anno_dist = tree.anno_dist
     opt_k = min(16, C)
 
     results: list[PTPlacement | None] = []
@@ -639,10 +642,10 @@ def merge_mp_candidates(tree: PTUnrooted, union: dict, valid, starts,
         height_f = heights[c_n] + wur
         a_is_c = (rat <= 0.5) | (heights[p_n] > max_height)
         a_n = np.where(a_is_c, c_n, p_n)
-        anno_total = np.where(a_is_c, wur + wn, (w_0 - wur) + wn) \
-            + anno_dist[a_n]
+        anno_place = np.where(a_is_c, wur + wn, (w_0 - wur) + wn)
         if prior_type == "height":
-            lp = -(anno_total - wn + height_f)
+            # placement-only anno dist (PhyloTreeUnrooted.cpp:1166-1177)
+            lp = -(anno_place - wn + height_f)
         else:
             lp = np.zeros_like(lls)
         pp = lls + lp
