@@ -66,6 +66,17 @@ def build_parser() -> argparse.ArgumentParser:
                    help="enable discrete-Gamma rate variation")
     p.add_argument("-k", dest="dg_k", type=int, default=DEFAULT_DG_CATEGORY)
     p.add_argument("--no-hmm", action="store_true")
+    p.add_argument("--msg-dtype", default="f64",
+                   choices=["f64", "f32", "f16"],
+                   help="in-memory storage dtype of the per-edge message "
+                        "tensors during evaluation (use f32/f16 at "
+                        "reference gg_97 scale; the .ptu file stores f32 "
+                        "regardless)")
+    p.add_argument("--eval-engine", default="numpy",
+                   choices=["numpy", "jax"],
+                   help="likelihood sweep engine: numpy = f64 "
+                        "reference-exact; jax = blocked XLA-CPU f32 "
+                        "kernels for gg_97-scale trees")
     p.add_argument("-v", action="count", default=0, dest="verbose")
     return p
 
@@ -116,8 +127,10 @@ def main(argv=None) -> int:
     tree.model = load_model(sm_file)
     log.info("DNA substitution model loaded: %s", tree.model.name)
 
+    msg_dtype = {"f64": np.float64, "f32": np.float32,
+                 "f16": np.float16}[args.msg_dtype]
     log.info("Evaluating phylogenetic tree (single two-pass sweep)")
-    tree.evaluate()
+    tree.evaluate(dtype=msg_dtype, engine=args.eval_engine)
 
     if args.var:
         muts = tree.estimate_num_mutations()
@@ -128,7 +141,8 @@ def main(argv=None) -> int:
         else:
             log.info("Estimated dGamma alpha = %g", alpha)
             tree.dg = DiscreteGammaModel(alpha, args.dg_k)
-            tree.evaluate()  # re-evaluate with rate mixture
+            # re-evaluate with the rate mixture
+            tree.evaluate(dtype=msg_dtype, engine=args.eval_engine)
 
     log.info("Final tree log-likelihood: %.6f", tree.tree_loglik())
     tree.infer_seq()

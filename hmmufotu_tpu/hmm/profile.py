@@ -520,7 +520,11 @@ class ProfileHMM:
                         raise ValueError(
                             f"Not allowed alphabet '{toks[1]}', must be DNA")
                 elif tag == "MAXL":
+                    # keep it in opt_tags too so write->read->write
+                    # round-trips preserve it (the reference stores all
+                    # optional tags and echoes them back, cpp:135,345)
                     hmm.L = int(toks[1])
+                    hmm.opt_tags[tag] = toks[1]
                 elif tag == "HMM":
                     li += 2  # skip the transition header line
                     in_body = True

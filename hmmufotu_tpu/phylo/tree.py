@@ -99,6 +99,81 @@ def row_mean_exp_scaled(X: np.ndarray) -> np.ndarray:
         return np.log(np.exp(X - scale).mean(axis=-1)) + scale[..., 0]
 
 
+def _jax_eval_fns():
+    """Lazily built jitted XLA-CPU kernels for the blocked evaluate()
+    sweep (cached after first call).  All math mirrors the f64 numpy
+    path: dot_product_scaled convolutions, segment sums per parent,
+    row_mean_exp_scaled rate collapse.
+
+    Every kernel takes FIXED [EVAL_CHUNK, ...] shapes: XLA-CPU compile
+    time grows linearly with the batch dimension (~70 s at 64k rows on
+    the dev host), so levels are looped in padded 4096-row chunks that
+    compile exactly once per (K, B)."""
+    global _JAX_EVAL_FNS
+    if _JAX_EVAL_FNS is not None:
+        return _JAX_EVAL_FNS
+    from functools import partial
+
+    import jax
+    import jax.numpy as jnp
+
+    def _conv(P, V):
+        # P [n,K,4,4], V [n,4,B] -> [n,K,4,B]; finite because P > 0 and
+        # exp(V - max) has a 1 per column
+        m = V.max(axis=1, keepdims=True)
+        scale = jnp.where(jnp.isfinite(m), m, 0.0)
+        E = jnp.exp(V - scale)
+        return jnp.log(jnp.einsum("nkij,njb->nkib", P, E)) \
+            + scale[:, None]
+
+    def _collapse(acc):
+        # [m,K,4,B] -> [m,4,B] (row_mean_exp_scaled over rates)
+        if acc.shape[1] == 1:
+            return acc[:, 0]
+        m = acc.max(axis=1, keepdims=True)
+        sc = jnp.where(jnp.isfinite(m), m, 0.0)
+        return jnp.log(jnp.exp(acc - sc).mean(axis=1)) + sc[:, 0]
+
+    @jax.jit
+    def conv_sum_chunk(P, V, pidx):
+        """Partial per-parent sums of child convolutions: pidx is the
+        LOCAL parent index (pad rows point at the dump segment CH)."""
+        conv = _conv(P, V)
+        return jax.ops.segment_sum(conv, pidx,
+                                   num_segments=P.shape[0] + 1)[:-1]
+
+    @jax.jit
+    def conv_chunk(P, V):
+        return _conv(P, V)
+
+    @jax.jit
+    def collapse_chunk(acc):
+        return _collapse(acc)
+
+    @jax.jit
+    def sub_collapse_chunk(tot_rows, conv):
+        return _collapse(tot_rows - conv)
+
+    @jax.jit
+    def leaf_block(codes, logpi):
+        # codes [n,B] int8 -> [n,4,B] leaf conditional logliks
+        obs = codes >= 0
+        eq = codes[:, None, :] == jnp.arange(
+            4, dtype=codes.dtype)[None, :, None]
+        return jnp.where(obs[:, None, :],
+                         jnp.where(eq, jnp.float32(0.0),
+                                   -jnp.inf).astype(jnp.float32),
+                         logpi[None, :, None])
+
+    _JAX_EVAL_FNS = (conv_sum_chunk, conv_chunk, collapse_chunk,
+                     sub_collapse_chunk, leaf_block)
+    return _JAX_EVAL_FNS
+
+
+_JAX_EVAL_FNS = None
+EVAL_CHUNK = 4096
+
+
 def infer_state(loglik: np.ndarray) -> np.ndarray:
     """argmax base per column; loglik [4, ...] -> int8 [...]
     (reference inferState, PhyloTreeUnrooted.h:1584-1588)."""
@@ -455,59 +530,298 @@ class PTUnrooted:
             out[:, :, k] = dot_product_scaled(self.model.Pr(w * r), msg)
         return out
 
-    def evaluate(self):
+    def _node_depths(self) -> np.ndarray:
+        """Edge distance from the root per node (root = 0)."""
+        depth = np.zeros(self.num_nodes, dtype=np.int64)
+        for u in self.post_order()[::-1]:     # pre-order: parent first
+            p = self.parent[u]
+            if p >= 0:
+                depth[u] = depth[p] + 1
+        return depth
+
+    def _leaf_loglik_batch(self, ids: np.ndarray, s0: int,
+                           s1: int) -> np.ndarray:
+        """[n, 4, B] leaf conditional logliks for site block [s0, s1)
+        (batched form of leaf_loglik / reference getLeafLoglik)."""
+        codes = self.seqs[ids, s0:s1]                      # [n, B]
+        n, B = codes.shape
+        out = np.broadcast_to(np.log(self.model.pi)[None, :, None],
+                              (n, 4, B)).copy()
+        ii, bb = np.nonzero(codes >= 0)
+        out[ii, :, bb] = NEG_INF
+        out[ii, codes[ii, bb], bb] = 0.0
+        return out
+
+    @staticmethod
+    def _conv_batch(P: np.ndarray, V: np.ndarray) -> np.ndarray:
+        """Batched dot_product_scaled: P [n, 4, 4] transition matrices,
+        V [n, 4, B] log messages -> [n, 4, B] log(P @ exp(V)) with
+        per-column max scaling (PhyloTreeUnrooted.h:1496-1504)."""
+        m = V.max(axis=1, keepdims=True)                   # [n, 1, B]
+        scale = np.where(np.isfinite(m), m, 0.0)
+        with np.errstate(divide="ignore"):
+            return np.log(P @ np.exp(V - scale)) + scale
+
+    def _level_plan(self):
+        """Shared evaluate() precompute: depth levels (children sorted
+        by parent + segment starts), per-edge P(t*rate) matrices, leaf
+        sets.  Returns (maxd, lvl, P, seq_leaves, root_is_leaf)."""
+        N = self.num_nodes
+        rates = self._rates()
+        depth = self._node_depths()
+        maxd = int(depth.max()) if N else 0
+        lvl: list[tuple] = [()] * (maxd + 1)
+        for d in range(1, maxd + 1):
+            ch = np.nonzero(depth == d)[0]
+            ch = ch[np.argsort(self.parent[ch], kind="stable")]
+            par = self.parent[ch]
+            starts = np.nonzero(np.r_[True, par[1:] != par[:-1]])[0]
+            lvl[d] = (ch, starts, par[starts])
+        # per-edge transition matrices for every rate: [N, K, 4, 4]
+        P = np.asarray(self.model.Pr_batch(
+            np.asarray(self.brlen)[:, None] * rates[None, :]))
+        leaf_mask = np.array([self.is_leaf(u) for u in range(N)])
+        seq_leaves = np.nonzero(leaf_mask & self.has_seq
+                                & (self.parent >= 0))[0]
+        return maxd, lvl, P, seq_leaves, bool(leaf_mask[self.root])
+
+    def evaluate(self, dtype=np.float64,
+                 budget_bytes: int = 2 << 30, engine: str = "numpy"):
         """Fill msg_up and msg_down for every directed edge with one
         post-order and one pre-order sweep.
 
         Replaces the reference's per-root evaluate() calls
         (PhyloTreeUnrooted.cpp:358-374) and the N-times re-rooted sweep
         loop of the DB builder (hmmufotu-build.cpp:455-459).
+
+        Scale design: nodes are processed one DEPTH LEVEL at a time with
+        all per-node 4x4 convolutions batched into one [n,4,4]@[n,4,B]
+        matmul, and the sites axis is processed in blocks sized so the
+        working set stays under ``budget_bytes`` — so a gg_97-scale
+        tree (~2e5 nodes x ~6e3 sites) evaluates within a bounded RSS.
+        ``dtype`` selects the *storage* dtype of the message tensors;
+        pass np.float32/np.float16 at reference scale (the .ptu file
+        stores f32 regardless, tree.save()).
+
+        ``engine``: "numpy" computes in f64 (reference-exact, used for
+        parity); "jax" runs the identical blocked recurrence through
+        jitted XLA-CPU kernels in f32 — ~30x faster transcendentals on
+        weak hosts, the intended path at gg_97 scale.
         """
+        if engine == "jax":
+            return self._evaluate_jax(dtype, budget_bytes)
+        if engine != "numpy":
+            raise ValueError(f"unknown evaluate engine '{engine}'")
+        N, L = self.num_nodes, self.cs_len
+        rates = self._rates()
+        K = len(rates)
+        self.msg_up = np.zeros((N, 4, L), dtype=dtype)
+        self.msg_down = np.zeros((N, 4, L), dtype=dtype)
+        if N == 0 or L == 0:
+            return
+
+        maxd, lvl, P, seq_leaves, root_is_leaf = self._level_plan()
+
+        # block size: up+down f64 working blocks are ~(2N + 3n_max*K)*32*B
+        n_max = max((len(t[0]) for t in lvl[1:]), default=1) or 1
+        B = max(16, int(budget_bytes // ((2 * N + 3 * n_max * K) * 32)))
+        B = min(B, L)
+
+        for s0 in range(0, L, B):
+            s1 = min(s0 + B, L)
+            w = s1 - s0
+            up = np.zeros((N, 4, w))
+            if len(seq_leaves):
+                up[seq_leaves] = self._leaf_loglik_batch(seq_leaves, s0, s1)
+
+            # ---- up (post-order by level, deepest first) ----------------
+            for d in range(maxd, 0, -1):
+                ch, starts, pars = lvl[d]
+                if not len(ch):
+                    continue
+                acc = np.empty((len(pars), 4, w, K))
+                for k in range(K):
+                    conv = self._conv_batch(P[ch, k], up[ch])
+                    acc[:, :, :, k] = np.add.reduceat(conv, starts, axis=0)
+                up[pars] = row_mean_exp_scaled(acc) if K > 1 \
+                    else acc[:, :, :, 0]
+            if root_is_leaf and self.has_seq[self.root]:
+                # degree-1 root adds its own seq term (loglik(node) parity)
+                up[self.root] += self._leaf_loglik_batch(
+                    np.array([self.root]), s0, s1)[0]
+            self.msg_up[:, :, s0:s1] = up
+
+            # ---- down (pre-order by level) -------------------------------
+            dn = np.zeros((N, 4, w))
+            for d in range(0, maxd):
+                ch, starts, pars = lvl[d + 1]
+                if not len(ch):
+                    continue
+                if d == 0 and root_is_leaf:
+                    # degree-1 root with a single child: child's down
+                    # message is just the root's own leaf term
+                    if self.has_seq[self.root]:
+                        dn[ch[0]] = self._leaf_loglik_batch(
+                            np.array([self.root]), s0, s1)[0]
+                    continue
+                conv = np.empty((len(ch), 4, w, K))
+                tot = np.empty((len(pars), 4, w, K))
+                for k in range(K):
+                    conv[:, :, :, k] = self._conv_batch(P[ch, k], up[ch])
+                    tot[:, :, :, k] = np.add.reduceat(
+                        conv[:, :, :, k], starts, axis=0)
+                    has_pp = self.parent[pars] >= 0
+                    if has_pp.any():
+                        pp = pars[has_pp]
+                        tot[has_pp, :, :, k] += self._conv_batch(
+                            P[pp, k], dn[pp])
+                # broadcast each parent's total back onto its children
+                seg = np.zeros(len(ch), dtype=np.int64)
+                seg[starts[1:]] = 1
+                pidx = np.cumsum(seg)
+                S = tot[pidx] - conv
+                dn[ch] = row_mean_exp_scaled(S) if K > 1 else S[:, :, :, 0]
+            self.msg_down[:, :, s0:s1] = dn
+
+    def _evaluate_jax(self, dtype, budget_bytes: int):
+        """The same blocked level sweep lowered to jitted XLA-CPU
+        kernels (f32 compute).  Levels are processed in fixed-size
+        padded EVAL_CHUNK child chunks so every kernel compiles exactly
+        once per (K, B) — XLA-CPU compile time is linear in the batch
+        dim, so variable level shapes would dominate the wall clock."""
+        (conv_sum_chunk, conv_chunk, collapse_chunk, sub_collapse_chunk,
+         leaf_block) = _jax_eval_fns()
+        CH = EVAL_CHUNK
         N, L = self.num_nodes, self.cs_len
         K = len(self._rates())
-        self.msg_up = np.zeros((N, 4, L))
-        self.msg_down = np.zeros((N, 4, L))
-        # cache child->parent rate convolutions for reuse in the down pass
-        conv_up = np.zeros((N, 4, L, K))
+        self.msg_up = np.zeros((N, 4, L), dtype=dtype)
+        self.msg_down = np.zeros((N, 4, L), dtype=dtype)
+        if N == 0 or L == 0:
+            return
+        maxd, lvl, P, seq_leaves, root_is_leaf = self._level_plan()
+        P = P.astype(np.float32)
+        logpi = np.log(self.model.pi).astype(np.float32)
 
-        order = self.post_order()
-        for u in order:
-            ch = self.children_of(u)
-            if not ch and self.is_leaf(u):
-                self.msg_up[u] = self.leaf_loglik(self.seqs[u]) \
-                    if self.has_seq[u] else 0.0
-            else:
-                S = np.zeros((4, L, K))
-                for c in ch:
-                    conv_up[c] = self._conv_rates(self.msg_up[c],
-                                                  float(self.brlen[c]))
-                    S += conv_up[c]
-                self.msg_up[u] = row_mean_exp_scaled(S) if K > 1 \
-                    else S[:, :, 0]
-                # a degree-1 root (leaf-root) also adds its own seq term
-                if self.is_leaf(u) and self.has_seq[u]:
-                    self.msg_up[u] += self.leaf_loglik(self.seqs[u])
+        # per-level plan: children sorted by parent, per-child parent
+        # RANK within the level's unique-parent list, chunk boundaries
+        plans = [None] * (maxd + 1)
+        npar_max = 1
+        for d in range(1, maxd + 1):
+            ch, starts, pars = lvl[d]
+            n, npar = len(ch), len(pars)
+            npar_max = max(npar_max, npar)
+            seg = np.zeros(n, dtype=np.int64)
+            seg[starts[1:]] = 1
+            prank = np.cumsum(seg)
+            chunks = [(c0, min(c0 + CH, n)) for c0 in range(0, n, CH)]
+            plans[d] = (ch, pars, prank, chunks,
+                        np.asarray(self.parent[pars] >= 0))
 
-        for p in order[::-1]:  # pre-order
-            ch = self.children_of(p)
-            if not ch:
-                continue
-            if self.is_leaf(p):  # degree-1 root with a single child
-                base = self.leaf_loglik(self.seqs[p])[:, :, None] \
-                    if self.has_seq[p] else np.zeros((4, L, 1))
-                self.msg_down[ch[0]] = base[:, :, 0] if K == 1 \
-                    else row_mean_exp_scaled(np.tile(base, (1, 1, K)))
-                continue
-            tot = np.zeros((4, L, K))
-            for c in ch:
-                tot += conv_up[c]
-            if self.parent[p] >= 0:
-                tot += self._conv_rates(self.msg_down[p],
-                                        float(self.brlen[p]))
-            for c in ch:
-                S = tot - conv_up[c]
-                self.msg_down[c] = row_mean_exp_scaled(S) if K > 1 \
-                    else S[:, :, 0]
+        B = max(32, int(budget_bytes
+                        // ((2 * N + 2 * npar_max * K + 8 * CH * K) * 16)))
+        B = min(B, L)
+
+        # preallocated padded chunk buffers (copied into jit each call)
+        Pbuf = np.tile(np.eye(4, dtype=np.float32), (CH, K, 1, 1))
+        Vbuf = np.zeros((CH, 4, B), np.float32)
+        Tbuf = np.zeros((CH, K, 4, B), np.float32)
+        pidxbuf = np.full(CH, CH, np.int32)
+
+        def chunk_sums(ch, prank, c0, c1, src):
+            n1 = c1 - c0
+            Pbuf[:n1] = P[ch[c0:c1]]
+            Pbuf[n1:] = np.eye(4, dtype=np.float32)
+            Vbuf[:n1] = src[ch[c0:c1]]
+            Vbuf[n1:] = 0.0
+            pidxbuf[:n1] = prank[c0:c1] - prank[c0]
+            pidxbuf[n1:] = CH
+            return np.asarray(conv_sum_chunk(Pbuf, Vbuf, pidxbuf)), \
+                int(prank[c1 - 1] - prank[c0] + 1)
+
+        def collapse_rows(acc, out_ids, dst):
+            # acc [npar,K,4,B] -> dst[out_ids] = row_mean_exp_scaled
+            npar = acc.shape[0]
+            if K == 1:
+                dst[out_ids] = acc[:, 0]
+                return
+            for r0 in range(0, npar, CH):
+                r1 = min(r0 + CH, npar)
+                Tbuf[:r1 - r0] = acc[r0:r1]
+                out = np.asarray(collapse_chunk(Tbuf))
+                dst[out_ids[r0:r1]] = out[:r1 - r0]
+
+        LCH = 4 * CH
+        codesbuf = np.full((LCH, B), -128, np.int8)
+
+        def leaf_rows(ids, s0, s1):
+            codes = self.seqs[ids, s0:s1]
+            out = np.empty((len(ids), 4, B), np.float32)
+            for r0 in range(0, len(ids), LCH):
+                r1 = min(r0 + LCH, len(ids))
+                codesbuf[:r1 - r0, :s1 - s0] = codes[r0:r1]
+                codesbuf[r1 - r0:] = -128
+                codesbuf[:, s1 - s0:] = -128
+                out[r0:r1] = np.asarray(
+                    leaf_block(codesbuf, logpi))[:r1 - r0]
+            return out
+
+        for s0 in range(0, L, B):
+            s1 = min(s0 + B, L)
+            w = s1 - s0
+            up = np.zeros((N, 4, B), np.float32)
+            if len(seq_leaves):
+                up[seq_leaves] = leaf_rows(seq_leaves, s0, s1)
+
+            # ---- up sweep -------------------------------------------
+            for d in range(maxd, 0, -1):
+                ch, pars, prank, chunks, _ = plans[d]
+                acc = np.zeros((len(pars), K, 4, B), np.float32)
+                for c0, c1 in chunks:
+                    sums, nseg = chunk_sums(ch, prank, c0, c1, up)
+                    r0 = int(prank[c0])
+                    acc[r0:r0 + nseg] += sums[:nseg]
+                collapse_rows(acc, pars, up)
+            if root_is_leaf and self.has_seq[self.root]:
+                up[self.root] += leaf_rows(
+                    np.array([self.root]), s0, s1)[0]
+            self.msg_up[:, :, s0:s1] = up[:, :, :w]
+
+            # ---- down sweep -----------------------------------------
+            dn = np.zeros((N, 4, B), np.float32)
+            for d in range(0, maxd):
+                ch, pars, prank, chunks, has_pp = plans[d + 1]
+                if d == 0 and root_is_leaf:
+                    if self.has_seq[self.root]:
+                        dn[ch[0]] = leaf_rows(
+                            np.array([self.root]), s0, s1)[0]
+                    continue
+                npar = len(pars)
+                tot = np.zeros((npar, K, 4, B), np.float32)
+                for c0, c1 in chunks:
+                    sums, nseg = chunk_sums(ch, prank, c0, c1, up)
+                    r0 = int(prank[c0])
+                    tot[r0:r0 + nseg] += sums[:nseg]
+                # add each parent's own down-message convolution
+                for r0 in range(0, npar, CH):
+                    r1 = min(r0 + CH, npar)
+                    n1 = r1 - r0
+                    Pbuf[:n1] = P[pars[r0:r1]]
+                    Vbuf[:n1] = dn[pars[r0:r1]]
+                    Vbuf[n1:] = 0.0
+                    convp = np.asarray(conv_chunk(Pbuf, Vbuf))
+                    m = has_pp[r0:r1]
+                    tot[r0:r1][m] += convp[:n1][m]
+                # children: collapse(tot[parent] - conv(child))
+                for c0, c1 in chunks:
+                    n1 = c1 - c0
+                    Pbuf[:n1] = P[ch[c0:c1]]
+                    Vbuf[:n1] = up[ch[c0:c1]]
+                    Vbuf[n1:] = 0.0
+                    conv = conv_chunk(Pbuf, Vbuf)
+                    Tbuf[:n1] = tot[prank[c0:c1]]
+                    out = np.asarray(sub_collapse_chunk(Tbuf, conv))
+                    dn[ch[c0:c1]] = out[:n1]
+            self.msg_down[:, :, s0:s1] = dn[:, :, :w]
 
     def node_loglik(self, u: int) -> np.ndarray:
         """[4, L] in-message at u combining ALL its neighbors — equals
