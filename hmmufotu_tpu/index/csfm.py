@@ -10,13 +10,15 @@ queries are backward-search LF-mappings (cpp:43-174) returning CSLoc
 Redesign notes: the vendored libdivsufsort + libcds wavelet-tree/RRR
 stack (L0) is replaced by a native SA-IS builder and a compact rank
 structure filling the libcds role (CSFMIndex.cpp:350-364): the BWT is
-nibble-packed (2 symbols/byte) with per-symbol checkpointed counts
-every RANK_CKPT positions, so rank(b, i) = checkpoint + vectorized
-popcount-style tail scan — ~0.66 B/char total vs the round-1 dense
-cumulative table's 20 B/char, while every query step stays O(1)
-vectorized over an arbitrary batch of patterns.  Sampled-SA rows are a
-bitvector with per-word popcount ranks (the BitSequenceRRR role).
-Seed lookup for a whole read batch therefore runs as ~20 lockstep
+held as 5 per-symbol bit-planes of 64-bit words plus per-word
+cumulative checkpoint counts, so rank(b, i) = checkpoint[b, i>>6] +
+popcount(plane[b, i>>6] & low_bits(i&63)) — truly O(1) per query (one
+gather + one popcount), fully vectorized over an arbitrary batch of
+patterns, at ~1 B/char vs the round-1 dense cumulative table's
+20 B/char.  Sampled-SA rows are a bitvector with per-word popcount
+ranks (the BitSequenceRRR role): membership and the rank into the
+sampled-value array are likewise a single bit-test + popcount.  Seed
+lookup for a whole read batch therefore runs as ~20 lockstep
 LF-mapping steps over thousands of k-mers at once instead of
 per-pattern pointer chasing.  The index is built once per database and
 stays on the host; only the resulting band coordinates feed the
@@ -33,7 +35,28 @@ import numpy as np
 from ..alphabet import DNA, GAP_BASE
 
 SA_SAMPLE_RATE = 4  # reference CSFMIndex.h:133
-RANK_CKPT = 128     # BWT positions per rank checkpoint
+_ONE = np.uint64(1)
+
+
+def _bits_to_words(bits: np.ndarray, nwords: int) -> np.ndarray:
+    """Pack a boolean array into little-endian uint64 words
+    (word w bit i == bits[64*w + i])."""
+    padded = np.zeros(nwords * 64, dtype=bool)
+    padded[: len(bits)] = bits
+    return np.packbits(padded, bitorder="little").view(np.uint64)
+
+
+def _words_to_bits(words: np.ndarray) -> np.ndarray:
+    return np.unpackbits(words.view(np.uint8), bitorder="little")
+
+
+def _ckpt_from_planes(planes: np.ndarray) -> np.ndarray:
+    """Per-word cumulative symbol counts (uint32 when they fit:
+    0.31 B/char at gg_97 scale vs 0.63 for int64)."""
+    pc = np.bitwise_count(planes).astype(np.int64)
+    ck = np.concatenate([np.zeros((5, 1), np.int64),
+                         np.cumsum(pc, axis=1)], axis=1)
+    return ck.astype(np.uint32) if ck.max() < 2 ** 32 else ck
 
 
 @dataclass
@@ -103,64 +126,61 @@ class CSFMIndex:
         self.cs_identity = np.zeros(0)
         self.concat2cs = np.zeros(0, dtype=np.uint16)
         self.C = np.zeros(7, dtype=np.int64)
-        self.bwt_packed = np.zeros(0, dtype=np.uint8)   # 2 symbols/byte
         self.bwt_len = 0
-        self.occ_ckpt = np.zeros((5, 1), dtype=np.int64)
-        self.sa_mark = np.zeros(0, dtype=np.uint64)     # sampled-row bits
-        self.sa_rank = np.zeros(1, dtype=np.int64)      # popcounts/word
+        # 5 per-symbol bit-planes over 64-bit words (plane b word w bit
+        # i set iff bwt[64w+i] == b) — the WaveletTreeNoptrs role
+        self.bwt_bits = np.zeros((5, 1), dtype=np.uint64)
+        # occ_ckpt[b, w] = count of b in bwt[0 : 64*w]
+        self.occ_ckpt = np.zeros((5, 2), dtype=np.int64)
+        self.sa_mark = np.zeros(1, dtype=np.uint64)     # sampled-row bits
+        self.sa_rank = np.zeros(1, dtype=np.int64)      # prefix popcounts
         self.sampled_vals = np.zeros(0, dtype=np.int64)
 
     # ----- compact rank structures (libcds role) ---------------------------
     @property
     def bwt(self) -> np.ndarray:
         """Unpacked int8 BWT (materialized on demand)."""
-        return self._bwt_at(np.arange(self.bwt_len, dtype=np.int64))
+        n = self.bwt_len
+        out = np.zeros(n, dtype=np.int8)
+        for b in range(1, 5):
+            out[_words_to_bits(self.bwt_bits[b])[:n].astype(bool)] = b
+        return out
 
     @bwt.setter
     def bwt(self, bwt: np.ndarray):
         bwt = np.asarray(bwt, dtype=np.int8)
         n = len(bwt)
         self.bwt_len = n
-        b = bwt.astype(np.uint8)
-        pk = np.zeros((n + 1) // 2, np.uint8)
-        pk[: (n + 1) // 2] = b[0::2]
-        odd = b[1::2]
-        pk[: len(odd)] |= odd << 4
-        self.bwt_packed = pk
-        nb = (n + RANK_CKPT - 1) // RANK_CKPT
-        pad = nb * RANK_CKPT - n
-        bb = np.pad(bwt, (0, pad), constant_values=-1).reshape(nb,
-                                                               RANK_CKPT)
-        cnt = np.stack([(bb == s).sum(axis=1) for s in range(5)])
-        self.occ_ckpt = np.concatenate(
-            [np.zeros((5, 1), np.int64),
-             np.cumsum(cnt, axis=1, dtype=np.int64)], axis=1)
+        # one spare word so rank at prefix length n is always in range
+        nwords = (n >> 6) + 1
+        self.bwt_bits = np.stack(
+            [_bits_to_words(bwt == b, nwords) for b in range(5)])
+        self.occ_ckpt = _ckpt_from_planes(self.bwt_bits)
 
     def _bwt_at(self, pos: np.ndarray) -> np.ndarray:
-        byte = self.bwt_packed[pos >> 1]
-        return ((byte >> ((pos & 1).astype(np.uint8) << 2))
-                & 0xF).astype(np.int8)
+        w = pos >> 6
+        bit = (pos & 63).astype(np.uint64)
+        out = np.zeros(pos.shape, dtype=np.int8)
+        for b in range(1, 5):
+            out += np.int8(b) * ((self.bwt_bits[b, w] >> bit)
+                                 & _ONE).astype(np.int8)
+        return out
 
     @property
     def sampled_rows(self) -> np.ndarray:
-        out = []
-        for w in range(len(self.sa_mark)):
-            word = int(self.sa_mark[w])
-            base = w << 6
-            while word:
-                out.append(base + (word & -word).bit_length() - 1)
-                word &= word - 1
-        return np.asarray(out, dtype=np.int64)
+        return np.nonzero(_words_to_bits(self.sa_mark))[0].astype(np.int64)
 
     @sampled_rows.setter
     def sampled_rows(self, rows: np.ndarray):
         rows = np.asarray(rows, dtype=np.int64)
-        n = int(rows.max()) + 1 if len(rows) else 0
-        words = np.zeros((n + 63) >> 6, np.uint64)
-        np.bitwise_or.at(words, rows >> 6,
-                         np.uint64(1) << (rows & 63).astype(np.uint64))
-        self.sa_mark = words
-        pc = np.bitwise_count(words).astype(np.int64)
+        # cover every possible SA row [0, concat_len], not just the
+        # marked maximum — _access_sa bit-tests arbitrary rows
+        n = max(int(rows.max()) + 1 if len(rows) else 0,
+                self.concat_len + 1)
+        bits = np.zeros(n, dtype=bool)
+        bits[rows] = True
+        self.sa_mark = _bits_to_words(bits, (n + 63) >> 6)
+        pc = np.bitwise_count(self.sa_mark).astype(np.int64)
         self.sa_rank = np.concatenate([[0], np.cumsum(pc)])
 
     # ----- build ----------------------------------------------------------
@@ -212,26 +232,25 @@ class CSFMIndex:
         # bitvector + per-word popcount ranks
         mask = sa % SA_SAMPLE_RATE == 0
         idx.sampled_rows = np.nonzero(mask)[0]
-        idx.sampled_vals = sa[mask]
+        sv = sa[mask]
+        idx.sampled_vals = (sv.astype(np.uint32)
+                            if total < 2 ** 32 else sv)
         return idx
 
     # ----- rank / LF ------------------------------------------------------
     def _rank(self, b, i):
-        """Count of symbol b in bwt[0..i] inclusive (vectorized):
-        checkpointed count + tail scan of <= RANK_CKPT packed symbols
-        per query (the WaveletTreeNoptrs::rank role)."""
+        """Count of symbol b in bwt[0..i] inclusive (vectorized, O(1)):
+        per-word checkpoint + single masked popcount
+        (the WaveletTreeNoptrs::rank role)."""
         i = np.asarray(i, dtype=np.int64)
         b = np.asarray(b, dtype=np.int64)
         pos = np.maximum(i + 1, 0)              # prefix length
-        blk = pos // RANK_CKPT
-        base = self.occ_ckpt[b, blk]
-        width = pos - blk * RANK_CKPT           # [0, RANK_CKPT)
-        lanes = np.arange(RANK_CKPT, dtype=np.int64)
-        off = blk[..., None] * RANK_CKPT + lanes
-        syms = self._bwt_at(np.minimum(off, max(self.bwt_len - 1, 0)))
-        tail = ((syms == b[..., None])
-                & (lanes < width[..., None])).sum(axis=-1)
-        return base + tail
+        w = pos >> 6
+        r = (pos & 63).astype(np.uint64)
+        base = self.occ_ckpt[b, w].astype(np.int64)
+        mask = (_ONE << r) - _ONE               # low r bits
+        tail = np.bitwise_count(self.bwt_bits[b, w] & mask)
+        return base + tail.astype(np.int64)
 
     def _backward_search(self, patterns: np.ndarray
                          ) -> tuple[np.ndarray, np.ndarray]:
@@ -264,19 +283,24 @@ class CSFMIndex:
         out = np.zeros(rows.shape, dtype=np.int64)
         active = np.ones(rows.shape, dtype=bool)
         while active.any():
-            pos = np.searchsorted(self.sampled_rows, rows[active])
-            hit = (pos < len(self.sampled_rows)) \
-                & (self.sampled_rows[np.minimum(
-                    pos, len(self.sampled_rows) - 1)] == rows[active])
             act_idx = np.nonzero(active)[0]
+            r = rows[act_idx]
+            w = r >> 6
+            bit = (r & 63).astype(np.uint64)
+            word = self.sa_mark[w]
+            hit = ((word >> bit) & _ONE).astype(bool)
+            # rank into sampled_vals: prefix popcount up to this bit
+            pos = (self.sa_rank[w[hit]]
+                   + np.bitwise_count(word[hit]
+                                      & ((_ONE << bit[hit]) - _ONE)))
             done = act_idx[hit]
-            out[done] = self.sampled_vals[pos[hit]] + dist[done]
+            out[done] = self.sampled_vals[pos] + dist[done]
             active[done] = False
             walk = act_idx[~hit]
             if walk.size == 0:
                 break
             r = rows[walk]
-            b = self.bwt[r].astype(np.int64)
+            b = self._bwt_at(r).astype(np.int64)
             rows[walk] = self.C[b] + self._rank(b, r) - 1
             dist[walk] += 1
         return out
@@ -292,19 +316,33 @@ class CSFMIndex:
         return int(max(e[0] - s[0] + 1, 0))
 
     def _cs_loc(self, concat_start: int, pattern: str) -> CSLoc:
-        plen = len(pattern)
-        cs_start = int(self.concat2cs[concat_start])
-        cs_end = int(self.concat2cs[concat_start + plen - 1])
-        # re-insert consensus gaps between matched pattern chars
-        # (reference extractCS, cpp:262-273)
-        cs_pos = self.concat2cs[concat_start:concat_start + plen]
-        chars = []
-        for t in range(plen):
-            if t > 0 and int(cs_pos[t]) - int(cs_pos[t - 1]) > 1:
-                chars.append(self.gap_ch * (int(cs_pos[t])
-                                            - int(cs_pos[t - 1]) - 1))
-            chars.append(pattern[t])
-        return CSLoc(cs_start, cs_end, "".join(chars))
+        return self._cs_locs_batch(
+            np.asarray([concat_start], dtype=np.int64), [pattern])[0]
+
+    def _cs_locs_batch(self, starts: np.ndarray,
+                       patterns: list[str]) -> list[CSLoc]:
+        """Vectorized consensus-gap re-insertion for a batch of
+        equal-length matches (reference extractCS, cpp:262-273): one
+        gather of CS columns, gap counts from column diffs, and a
+        single scatter of all pattern bytes into a gap-filled buffer."""
+        M = len(patterns)
+        plen = len(patterns[0])
+        pos = starts[:, None] + np.arange(plen, dtype=np.int64)
+        cs = self.concat2cs[pos].astype(np.int64)        # [M, plen]
+        gaps = np.maximum(np.diff(cs, axis=1) - 1, 0)    # before char t>=1
+        pre = np.concatenate([np.zeros((M, 1), np.int64),
+                              np.cumsum(gaps, axis=1)], axis=1)
+        lens = plen + pre[:, -1]
+        row_off = np.concatenate([[0], np.cumsum(lens)])
+        buf = np.full(int(row_off[-1]), ord(self.gap_ch), dtype=np.uint8)
+        char_pos = (row_off[:-1, None]
+                    + np.arange(plen, dtype=np.int64) + pre).ravel()
+        buf[char_pos] = np.frombuffer(
+            "".join(patterns).encode("latin-1"), dtype=np.uint8)
+        blob = buf.tobytes().decode("latin-1")
+        return [CSLoc(int(cs[r, 0]), int(cs[r, -1]),
+                      blob[row_off[r]:row_off[r + 1]])
+                for r in range(M)]
 
     def locate(self, pattern: str) -> list[CSLoc]:
         if not pattern:
@@ -314,7 +352,7 @@ class CSFMIndex:
         if s > e:
             return []
         starts = self._access_sa(np.arange(s, e + 1))
-        return [self._cs_loc(int(cs), pattern) for cs in starts]
+        return self._cs_locs_batch(starts, [pattern] * len(starts))
 
     def locate_first(self, pattern: str) -> CSLoc:
         if not pattern:
@@ -371,7 +409,8 @@ class CSFMIndex:
         if not patterns:
             return []
         plen = len(patterns[0])
-        enc = np.stack([self._encode(p) for p in patterns])
+        enc = (self.abc.encode("".join(patterns).upper())
+               .astype(np.int64) + 1).reshape(len(patterns), plen)
         s, e = self._backward_search(enc)
         ok = s <= e
         rows = s.copy()
@@ -381,23 +420,30 @@ class CSFMIndex:
         out: list[CSLoc] = [CSLoc()] * len(patterns)
         if ok.any():
             starts = self._access_sa(rows[ok])
-            for t, gi in enumerate(np.nonzero(ok)[0]):
-                out[gi] = self._cs_loc(int(starts[t]), patterns[gi])
+            oks = np.nonzero(ok)[0]
+            locs = self._cs_locs_batch(starts, [patterns[g] for g in oks])
+            for t, gi in enumerate(oks):
+                out[gi] = locs[t]
         return out
 
     # ----- serialization --------------------------------------------------
     def save(self, path: str):
+        """Serialize the compact layout (v2).  The rank checkpoints and
+        sampled-row prefix popcounts are cheap derived data — rebuilt on
+        load from the bit-planes / mark words they summarize."""
         np.savez_compressed(
             path,
-            fmt=np.array(["hmmufotu-tpu-csfm-v1"]),
+            fmt=np.array(["hmmufotu-tpu-csfm-v2"]),
             alphabet=np.array([self.abc.name]),
             cs_len=np.array([self.cs_len]),
             concat_len=np.array([self.concat_len]),
             cs_seq=np.array([self.cs_seq]),
             cs_identity=self.cs_identity,
             concat2cs=self.concat2cs,
-            C=self.C, bwt=self.bwt, occ=self.occ,
-            sampled_rows=self.sampled_rows,
+            C=self.C,
+            bwt_len=np.array([self.bwt_len]),
+            bwt_bits=self.bwt_bits,
+            sa_mark=self.sa_mark,
             sampled_vals=self.sampled_vals,
         )
 
@@ -419,8 +465,15 @@ class CSFMIndex:
             idx.cs_identity = z["cs_identity"]
             idx.concat2cs = z["concat2cs"]
             idx.C = z["C"]
-            idx.bwt = z["bwt"]
-            idx.occ = z["occ"]
-            idx.sampled_rows = z["sampled_rows"]
+            if fmt == "hmmufotu-tpu-csfm-v1":       # round-1 layout
+                idx.bwt = z["bwt"]
+                idx.sampled_rows = z["sampled_rows"]
+            else:
+                idx.bwt_len = int(z["bwt_len"][0])
+                idx.bwt_bits = z["bwt_bits"]
+                idx.occ_ckpt = _ckpt_from_planes(idx.bwt_bits)
+                idx.sa_mark = z["sa_mark"]
+                spc = np.bitwise_count(idx.sa_mark).astype(np.int64)
+                idx.sa_rank = np.concatenate([[0], np.cumsum(spc)])
             idx.sampled_vals = z["sampled_vals"]
         return idx

@@ -458,9 +458,7 @@ def load_reference_csfm(path: str):
             np.asarray(C[: abc.size + 2], dtype=np.int64)).all()
     idx.sampled_rows = np.nonzero(sa_mask)[0].astype(np.int64)
     idx.sampled_vals = np.asarray(sampled_vals, dtype=np.int64)
-    idx.bwt = bwt
-    idx.occ = np.stack([np.cumsum(bwt == b) for b in range(5)],
-                       axis=0).astype(np.int32)
+    idx.bwt = bwt            # setter builds the compact rank structures
     return idx
 
 
@@ -620,8 +618,6 @@ def load_reference_ptu(path: str):
         body = []
         body.append(_read_text_line(fh))         # comment header
         body.append(_read_text_line(fh))         # Type:
-        if type_line in ("JC69", "K80"):
-            n_more = 1                           # kappa or nothing
         if type_line == "JC69":
             n_more = 0
         elif type_line == "K80":
