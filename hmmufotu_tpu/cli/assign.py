@@ -91,6 +91,15 @@ def build_parser() -> argparse.ArgumentParser:
                    help="shard the tree message tensors over all local "
                         "devices (capacity mode for DBs whose per-edge "
                         "messages exceed one chip's HBM)")
+    p.add_argument("--coordinator", default="localhost:29500",
+                   help="jax.distributed coordinator address for "
+                        "multi-host runs")
+    p.add_argument("--num-processes", type=int, default=1,
+                   help="total processes of a multi-host run; reads "
+                        "are host-sharded and output rows gathered to "
+                        "process 0 in order")
+    p.add_argument("--process-id", type=int, default=None,
+                   help="this process's id in a multi-host run")
     p.add_argument("-v", action="count", default=0, dest="verbose")
     return p
 
@@ -181,6 +190,23 @@ def main(argv=None) -> int:
     rng = np.random.default_rng(args.seed) if args.seed is not None \
         else None
 
+    multihost = args.num_processes > 1
+    if multihost:
+        if args.process_id is None:
+            log.error("--num-processes requires --process-id")
+            return 1
+        if args.resume:
+            log.error("--resume is not supported with --num-processes")
+            return 1
+        # must run before any jax backend use
+        from ..parallel.distributed import init_distributed
+        init_distributed(args.coordinator, args.num_processes,
+                         args.process_id)
+        for attr in ("align_out", "chimera_out"):
+            if getattr(args, attr):
+                setattr(args, attr,
+                        getattr(args, attr) + f".p{args.process_id}")
+
     db = Database.load(args.db)
     tree, hmm, csfm = db.ptu, db.hmm, db.csfm
     paired = bool(args.mates)
@@ -211,7 +237,7 @@ def main(argv=None) -> int:
         if args.mesh or args.mesh_tree:
             import jax
             from ..parallel import make_mesh
-            mesh = make_mesh()
+            mesh = make_mesh(local=multihost)
             log.info("Sharding %s over %d devices",
                      "tree messages" if args.mesh_tree
                      else "placement reads", mesh.devices.size)
@@ -251,12 +277,30 @@ def main(argv=None) -> int:
         if paired:
             rev_reads = [rev_reads[t] for t in keep]
 
-    out = sys.stdout if args.out == "-" else open(args.out, mode_out)
-    if mode_out == "w":
+    if multihost:
+        # contiguous host shard (strand detection above ran on the
+        # full list, so every process made the same choice)
+        from ..parallel.distributed import host_bounds
+        lo_h, hi_h = host_bounds(len(fwd_reads), args.process_id,
+                                 args.num_processes)
+        log.info("multihost: process %d/%d assigned reads [%d, %d)",
+                 args.process_id, args.num_processes, lo_h, hi_h)
+        fwd_reads = fwd_reads[lo_h:hi_h]
+        if paired:
+            rev_reads = rev_reads[lo_h:hi_h]
+
+    if multihost:
+        import io as _io
+        out = _io.StringIO()       # rows gathered to process 0 at end
+    else:
+        out = sys.stdout if args.out == "-" else open(args.out, mode_out)
+    write_header = mode_out == "w" and (not multihost
+                                        or args.process_id == 0)
+    if write_header:
         out.write(prog_header([PROG_NAME] + list(argv)))
     chim_cols = ("\t" + CHIMERA_TSV_HEADER + "\t") if args.chimera \
         else "\t"
-    if mode_out == "w":
+    if write_header:
         out.write("id\tdescription\t" + ALN_TSV_HEADER + chim_cols
                   + PLACEMENT_TSV_HEADER + "\n")
     chi_out = open(args.chimera_out, "w") if args.chimera_out else None
@@ -266,6 +310,30 @@ def main(argv=None) -> int:
                       + PLACEMENT_TSV_HEADER + "\n")
     aln_out = SeqWriter(open(args.align_out, "w")) if args.align_out \
         else None
+
+    def finalize() -> int:
+        """Close outputs; on multihost, gather every process's rows
+        (ordered by process id == original read order) and let process
+        0 write the combined TSV — byte-identical data rows to the
+        single-process run."""
+        if chi_out:
+            chi_out.close()
+        if aln_out:
+            aln_out.close()
+        if not multihost:
+            if out is not sys.stdout:
+                out.close()
+            return 0
+        from ..parallel.distributed import gather_host_text
+        parts = gather_host_text(out.getvalue())
+        if args.process_id == 0:
+            f = sys.stdout if args.out == "-" else open(args.out,
+                                                        mode_out)
+            for part in parts:
+                f.write(part)
+            if f is not sys.stdout:
+                f.close()
+        return 0
 
     n_assigned = 0
     # fast path: single-end, no chimera checking -> double-buffered
@@ -294,14 +362,8 @@ def main(argv=None) -> int:
             lo += len(alns)
             out.flush()
             log.info("Processed %d reads", lo)
-        if out is not sys.stdout:
-            out.close()
-        if chi_out:
-            chi_out.close()
-        if aln_out:
-            aln_out.close()
         log.info("Assigned %d of %d reads", n_assigned, len(fwd_reads))
-        return 0
+        return finalize()
 
     for lo in range(0, len(fwd_reads), args.batch):
         batch = fwd_reads[lo:lo + args.batch]
@@ -404,14 +466,8 @@ def main(argv=None) -> int:
         log.info("Processed %d reads", min(lo + args.batch,
                                            len(fwd_reads)))
 
-    if out is not sys.stdout:
-        out.close()
-    if chi_out:
-        chi_out.close()
-    if aln_out:
-        aln_out.close()
     log.info("Assigned %d of %d reads", n_assigned, len(fwd_reads))
-    return 0
+    return finalize()
 
 
 if __name__ == "__main__":

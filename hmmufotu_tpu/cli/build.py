@@ -69,9 +69,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--msg-dtype", default="f64",
                    choices=["f64", "f32", "f16"],
                    help="in-memory storage dtype of the per-edge message "
-                        "tensors during evaluation (use f32/f16 at "
-                        "reference gg_97 scale; the .ptu file stores f32 "
-                        "regardless)")
+                        "tensors during evaluation (use f32 at reference "
+                        "gg_97 scale; the .ptu file stores f32 "
+                        "regardless). f16 is rejected on large trees: "
+                        "per-site message magnitudes grow ~linearly with "
+                        "leaf count and overflow float16 near the root")
     p.add_argument("--eval-engine", default="numpy",
                    choices=["numpy", "jax"],
                    help="likelihood sweep engine: numpy = f64 "
@@ -129,6 +131,15 @@ def main(argv=None) -> int:
 
     msg_dtype = {"f64": np.float64, "f32": np.float32,
                  "f16": np.float16}[args.msg_dtype]
+    if msg_dtype == np.float16 and tree.num_nodes > 2000:
+        # per-site message log-likelihood magnitudes grow ~linearly
+        # with leaf count (~4.3e3/site at 2k leaves measured); beyond
+        # ~2k nodes they can exceed float16 max 65504 and silently
+        # saturate msg_up/msg_down to -inf near the root
+        log.error("--msg-dtype f16 would overflow at %d nodes "
+                  "(per-site magnitudes exceed float16 range above "
+                  "~2000 nodes); use f32 or f64", tree.num_nodes)
+        return 1
     log.info("Evaluating phylogenetic tree (single two-pass sweep)")
     tree.evaluate(dtype=msg_dtype, engine=args.eval_engine)
 

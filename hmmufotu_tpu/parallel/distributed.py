@@ -5,6 +5,13 @@ merged with collectives.  Single-host multi-chip runs need none of
 this (shard_map over the local mesh suffices — sharding.py); across
 hosts, initialize the jax distributed runtime first and give every
 process its slice of the input.
+
+Used by `assign --num-processes N --process-id I --coordinator H:P`
+(cli/assign.py): each process aligns+places its contiguous read shard,
+then the TSV rows are gathered to process 0 in process order —
+reproducing the single-process output rows byte-for-byte (the FM-index
+occurrence pick is deterministic without -S).  Exercised for real by
+tests/test_multihost.py on two local CPU processes over Gloo.
 """
 
 from __future__ import annotations
@@ -12,6 +19,7 @@ from __future__ import annotations
 import logging
 
 import jax
+import numpy as np
 
 log = logging.getLogger(__name__)
 
@@ -39,12 +47,64 @@ def init_distributed(coordinator: str | None = None,
                     "continuing single-process", e)
 
 
+def host_bounds(n_items: int, process_id: int | None = None,
+                num_processes: int | None = None) -> tuple[int, int]:
+    """[lo, hi) bounds of this host's contiguous slice of a global
+    work list."""
+    pid = jax.process_index() if process_id is None else process_id
+    n = jax.process_count() if num_processes is None else num_processes
+    per = (n_items + n - 1) // n
+    return pid * per, min((pid + 1) * per, n_items)
+
+
 def host_shard(items: list, process_id: int | None = None,
                num_processes: int | None = None) -> list:
     """This host's contiguous slice of a global work list (reads or
     sample files) — the cross-host analog of the read-batch sharding
     inside one host."""
-    pid = jax.process_index() if process_id is None else process_id
-    n = jax.process_count() if num_processes is None else num_processes
-    per = (len(items) + n - 1) // n
-    return items[pid * per:(pid + 1) * per]
+    lo, hi = host_bounds(len(items), process_id, num_processes)
+    return items[lo:hi]
+
+
+def gather_host_text(text: str) -> list[str]:
+    """All-gather one text blob per process, returned in process
+    order (the ordered-output merge: every process calls this; process
+    0 concatenates and writes).  Rides the distributed runtime's
+    cross-host collective (Gloo on CPU, DCN on pods)."""
+    from jax.experimental import multihost_utils
+    blob = np.frombuffer(text.encode(), dtype=np.uint8)
+    lens = multihost_utils.process_allgather(
+        np.array([len(blob)], np.int64))
+    m = max(int(lens.max()), 1)
+    buf = np.zeros(m, np.uint8)
+    buf[: len(blob)] = blob
+    gathered = multihost_utils.process_allgather(buf)
+    return [bytes(gathered[p][: int(lens[p, 0])]).decode()
+            for p in range(gathered.shape[0])]
+
+
+def multihost_otu_psum(local_taxon_ids: np.ndarray,
+                       n_taxa: int) -> np.ndarray:
+    """Global per-taxon OTU count reduction across every device of
+    every host: local counts are laid out one vector per local device,
+    assembled into a global array sharded over a mesh spanning all
+    hosts, and reduced by XLA's cross-host collective (the distributed
+    form of OTUTable operator+=, reference OTUTable.cpp:211-240).
+
+    Every process must call this (collective); all return the same
+    replicated global count vector."""
+    import jax.numpy as jnp
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    devs = np.array(jax.devices())          # global device list
+    mesh = Mesh(devs, ("data",))
+    nl = jax.local_device_count()
+    ids = np.asarray(local_taxon_ids)
+    counts = np.stack([
+        np.bincount(ids[d::nl], minlength=n_taxa).astype(np.int32)
+        for d in range(nl)])
+    sharding = NamedSharding(mesh, P("data", None))
+    garr = jax.make_array_from_process_local_data(sharding, counts)
+    total = jax.jit(lambda c: jnp.sum(c, axis=0),
+                    out_shardings=NamedSharding(mesh, P()))(garr)
+    return np.asarray(total)

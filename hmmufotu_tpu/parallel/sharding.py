@@ -30,8 +30,11 @@ DATA_AXIS = "data"
 MODEL_AXIS = "model"
 
 
-def make_mesh(n_devices: int | None = None) -> Mesh:
-    devs = jax.devices()
+def make_mesh(n_devices: int | None = None, local: bool = False) -> Mesh:
+    """1-D data mesh.  `local=True` restricts to this process's
+    addressable devices (per-host mesh under a multi-host run, where
+    jax.devices() spans every host)."""
+    devs = jax.local_devices() if local else jax.devices()
     if n_devices is not None:
         devs = devs[:n_devices]
     return Mesh(np.array(devs), (DATA_AXIS,))
