@@ -125,6 +125,14 @@ def main():
         from hmmufotu_tpu.hmm.viterbi import TIMING
         TIMING.clear()
 
+    # BENCH_PROFILE=<dir>: capture a jax profiler trace of the first
+    # timed pass (inspect with tensorboard or xprof; SURVEY §5 aux
+    # tracing subsystem)
+    profile_dir = os.environ.get("BENCH_PROFILE")
+    if profile_dir:
+        import jax
+        jax.profiler.start_trace(profile_dir)
+
     # best of two timed passes: the remote device tunnel adds
     # +-15-25% run-to-run interference that has nothing to do with
     # the framework under test
@@ -144,6 +152,11 @@ def main():
                 n_done += sum(b is not None for b in best)
         dt = time.time() - t0
         rps = max(rps, n_done / dt)
+        if profile_dir:
+            import jax
+            jax.profiler.stop_trace()
+            profile_dir = None
+            print(f"bench: profiler trace written", file=sys.stderr)
 
     if verbose:
         print("stage times:", {k: round(v, 2)

@@ -80,6 +80,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--ignore-orient", action="store_true")
     p.add_argument("--align-only", action="store_true")
     p.add_argument("-S", "--seed", type=int, default=None)
+    p.add_argument("--opt-k", type=int, default=0,
+                   help="speed knob: accurately optimize only the "
+                        "opt-k best candidates by estimated loglik "
+                        "(0 = all surviving candidates, "
+                        "reference-faithful)")
     p.add_argument("-b", "--batch", type=int, default=DEFAULT_BATCH)
     p.add_argument("--resume", action="store_true",
                    help="append to an existing output, skipping reads "
@@ -233,7 +238,8 @@ def main(argv=None) -> int:
         return 1
     if not args.align_only:
         from ..phylo.placement import DevicePlacer
-        placer = DevicePlacer(tree, max_nseed=args.max_nseed)
+        placer = DevicePlacer(tree, max_nseed=args.max_nseed,
+                              opt_k=args.opt_k or None)
         if args.mesh or args.mesh_tree:
             import jax
             from ..parallel import make_mesh

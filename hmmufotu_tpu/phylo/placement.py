@@ -414,12 +414,17 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     best_est = est_loglik.max(axis=1, keepdims=True)
     live = cand_ok & (best_est - est_loglik <= max_error)
 
-    # compact to the opt_k best candidates by estimated loglik before
-    # the expensive optimization (the reference's filter typically
-    # leaves only a handful of survivors; opt_k bounds the worst
-    # case).  Tree-model-parallel shards optimize ALL local
-    # candidates (opt_k=C) so the host merge stays exact.
-    opt_k = min(16, C) if opt_k is None else min(opt_k, C)
+    # optionally compact to the opt_k best candidates by estimated
+    # loglik before the expensive optimization.  The default (None)
+    # optimizes EVERY candidate the estimate filter kept, like the
+    # reference (filterPlacements keeps all within maxError,
+    # HmmUFOtu_main.cpp:162-173) — the estimate's bias is candidate-
+    # dependent (measured up to ~30 nats on the fixture), so a tighter
+    # cut can drop the true winner: the round-3 parity sweep caught
+    # 2/1000 PE taxon flips at opt_k=16 whose est-ranks were 16 and 27.
+    # opt_k is a speed knob (assign --opt-k) for callers that accept
+    # that tradeoff.
+    opt_k = C if opt_k is None else min(opt_k, C)
     _, order = jax.lax.top_k(jnp.where(live, est_loglik, -INF), opt_k)
 
     def take_c(x):
@@ -587,10 +592,12 @@ class DevicePlacer:
     def __init__(self, tree: PTUnrooted, window: int = 512,
                  max_nseed: int = 50, dtype=jnp.float32,
                  msg_dtype=None, fp_pallas: bool | None = None,
-                 sep_pallas: bool | None = None):
+                 sep_pallas: bool | None = None,
+                 opt_k: int | None = None):
         self.tree = tree
         self.W = min(window, tree.cs_len)
         self.C = max_nseed
+        self.opt_k = opt_k          # None = optimize all live (faithful)
         # single-kernel Pallas optimization loops on real TPUs; the
         # XLA while_loop everywhere else (interpret mode is slow).
         # sep_pallas fuses the WHOLE 3-branch optimization (subsuming
@@ -651,7 +658,7 @@ class DevicePlacer:
             self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
             self.n_rates, self.tree.cs_len, height_prior, ml_only,
             self.fp_pallas, self.sep_pallas, self.eig,
-            s0=jnp.asarray(s0, jnp.int32), Ws=Ws)
+            opt_k=self.opt_k, s0=jnp.asarray(s0, jnp.int32), Ws=Ws)
 
     def union_window(self, starts) -> tuple[int, int]:
         """(s0, Ws) covering every read's site window in the batch.

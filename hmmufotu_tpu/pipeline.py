@@ -609,7 +609,9 @@ def merge_mp_candidates(tree: PTUnrooted, union: dict, valid, starts,
     B = cand.shape[0]
     heights = tree.heights
     parent = tree.parent
-    opt_k = min(16, C)
+    # the single-device path now optimizes every surviving candidate
+    # (opt_k defaults to C — see place_batch_device); mirror that here
+    opt_k = C
 
     results: list[PTPlacement | None] = []
     for r in range(B):
