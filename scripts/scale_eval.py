@@ -70,6 +70,10 @@ def main(argv=None) -> int:
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--place", action="store_true",
                     help="also run a host placement smoke on the result")
+    ap.add_argument("--ref-ptu", default="",
+                    help="also save/load the evaluated tree through the "
+                         "reference binary .ptu format at this path "
+                         "(VERDICT r2 item #5; ~58 GB at gg_97 shape)")
     args = ap.parse_args(argv)
 
     dtype = {"f64": np.float64, "f32": np.float32,
@@ -106,6 +110,31 @@ def main(argv=None) -> int:
         pl = tree.place_seq(seq, est)
         place_ok = bool(np.isfinite(pl.loglik))
 
+    ref_ptu = None
+    if args.ref_ptu:
+        import os
+        from hmmufotu_tpu.io.reference_format import (
+            load_reference_ptu, save_reference_ptu)
+        t0 = time.perf_counter()
+        save_reference_ptu(tree, args.ref_ptu)
+        t_save = time.perf_counter() - t0
+        size_gb = os.path.getsize(args.ref_ptu) / 1e9
+        t0 = time.perf_counter()
+        tree2 = load_reference_ptu(args.ref_ptu)
+        t_load = time.perf_counter() - t0
+        sample2 = sample[:8]
+        round_ok = bool(
+            tree2.num_nodes == tree.num_nodes
+            and np.allclose(
+                np.asarray(tree2.msg_up[sample2], np.float32),
+                np.asarray(tree.msg_up[sample2], np.float32),
+                rtol=1e-5, atol=1e-5, equal_nan=True)
+            and abs(tree2.tree_loglik() - ll) / abs(ll) < 1e-5)
+        ref_ptu = {"save_s": round(t_save, 1), "load_s": round(t_load, 1),
+                   "size_gb": round(size_gb, 2), "roundtrip_ok": round_ok}
+        os.unlink(args.ref_ptu)
+        del tree2
+
     peak_gb = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss / 1e6
     print(json.dumps({
         "n_nodes": tree.num_nodes, "cs_len": args.length,
@@ -113,6 +142,7 @@ def main(argv=None) -> int:
         "engine": args.engine,
         "t_synth_s": round(t_synth, 2), "t_eval_s": round(t_eval, 2),
         "tree_loglik": ll, "finite_ok": ok, "place_ok": place_ok,
+        "ref_ptu": ref_ptu,
         "peak_rss_gb": round(peak_gb, 2),
     }))
     return 0 if ok and np.isfinite(ll) else 1
