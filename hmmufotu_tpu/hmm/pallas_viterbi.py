@@ -47,8 +47,8 @@ PAD_WORD = 0x55555555                # 8 pad nibbles per int32
 
 
 def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
-                    choices_ref, best_ref, emits_ref,
-                    *, n_rows: int, K: int, KP: int, max_steps: int):
+                    *refs, n_rows: int, K: int, KP: int,
+                    max_steps: int, traced: bool = False):
     """One program = READS_PER_PROGRAM reads, full row loop.
 
     codes_s: scalar-prefetch [B, n_rows] int32 read bases
@@ -57,6 +57,13 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
     meta_ref [R, 128] int32: col 0 = read length, cols 8.. = regions
     tc_ref [16, KP] f32 packed transition costs, em_ref [8, KP] f32
     """
+    if traced:
+        # choice planes never leave the chip: VMEM scratch, read back
+        # only by the in-kernel traceback (saves the [n_rows/8, B, KP]
+        # int32 HBM output — ~740 MB/4096-read batch at fixture shape)
+        best_ref, emits_ref, choices_ref = refs
+    else:
+        choices_ref, best_ref, emits_ref = refs
     R = READS_PER_PROGRAM
     prog = pl.program_id(0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (R, KP), 1)
@@ -342,14 +349,16 @@ def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
     state strings — decode with unpack_emits — and sb [B, 8] f32
     with score at col 0 and (aln_start, aln_end, aln_from, aln_to)
     1-based at cols 3:7 — one combined host download covers both).
+    The choice planes stay in VMEM scratch and never touch HBM.
     """
     score, _, _, _, emits, sb = _viterbi_pallas_full(
-        dh, codes, lengths, regions, n_rows, interpret)
+        dh, codes, lengths, regions, n_rows, interpret, traced=True)
     return score, emits, sb
 
 
 def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
-                         n_rows: int, interpret: bool = False):
+                         n_rows: int, interpret: bool = False,
+                         traced: bool = False):
     B0 = codes.shape[0]
     K = dh.K
     KP = _round_up(K + 2, 128)
@@ -414,41 +423,63 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
     TPS = _round_up(max_steps // 8, 128)
     max_steps = TPS * 8
 
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B // R,),
-        in_specs=[
-            pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((16, KP), lambda p, cs, ss: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((8, KP), lambda p, cs, ss: (0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-        out_specs=[
-            pl.BlockSpec((n_rows // PACK_ROWS, R, KP),
-                         lambda p, cs, ss: (0, p, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((R, TPS), lambda p, cs, ss: (p, 0),
-                         memory_space=pltpu.VMEM),
-        ],
-    )
-    packed, best, emits = pl.pallas_call(
-        partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
-                max_steps=max_steps),
-        grid_spec=grid_spec,
-        out_shape=[
-            jax.ShapeDtypeStruct((n_rows // PACK_ROWS, B, KP),
-                                 jnp.int32),
-            jax.ShapeDtypeStruct((B, 128), jnp.float32),
-            jax.ShapeDtypeStruct((B, TPS), jnp.int32),
-        ],
-        interpret=interpret,
-    )(codes_i, scal, meta, tc, em)
-
-    packed = packed[:, :B0]
+    in_specs = [
+        pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((16, KP), lambda p, cs, ss: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, KP), lambda p, cs, ss: (0, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    best_spec = pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
+                             memory_space=pltpu.VMEM)
+    emits_spec = pl.BlockSpec((R, TPS), lambda p, cs, ss: (p, 0),
+                              memory_space=pltpu.VMEM)
+    G = n_rows // PACK_ROWS
+    if traced:
+        # choice planes = per-program VMEM scratch (never written to
+        # HBM; only the packed state strings + bounds leave the chip)
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // R,),
+            in_specs=in_specs,
+            out_specs=[best_spec, emits_spec],
+            scratch_shapes=[pltpu.VMEM((G, R, KP), jnp.int32)],
+        )
+        best, emits = pl.pallas_call(
+            partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
+                    max_steps=max_steps, traced=True),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((B, 128), jnp.float32),
+                jax.ShapeDtypeStruct((B, TPS), jnp.int32),
+            ],
+            interpret=interpret,
+        )(codes_i, scal, meta, tc, em)
+        packed = None
+    else:
+        grid_spec = pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=2,
+            grid=(B // R,),
+            in_specs=in_specs,
+            out_specs=[
+                pl.BlockSpec((G, R, KP), lambda p, cs, ss: (0, p, 0),
+                             memory_space=pltpu.VMEM),
+                best_spec, emits_spec,
+            ],
+        )
+        packed, best, emits = pl.pallas_call(
+            partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
+                    max_steps=max_steps),
+            grid_spec=grid_spec,
+            out_shape=[
+                jax.ShapeDtypeStruct((G, B, KP), jnp.int32),
+                jax.ShapeDtypeStruct((B, 128), jnp.float32),
+                jax.ShapeDtypeStruct((B, TPS), jnp.int32),
+            ],
+            interpret=interpret,
+        )(codes_i, scal, meta, tc, em)
+        packed = packed[:, :B0]
     best = best[:B0]
     emits = emits[:B0]
     score = best[:, 0]
