@@ -469,14 +469,20 @@ class ViterbiAligner:
         t = time.time()
         if self.kernel == "pallas" and self.traceback_mode == "device":
             # single-kernel DP + in-kernel traceback: only the packed
-            # state strings and bounds ever leave the device
+            # state strings and bounds ever leave the device, fused
+            # into ONE [B, 8+TPS] int32 array = one host download
+            # (each device->host fetch through a tunneled link pays a
+            # large fixed latency)
             from .pallas_viterbi import viterbi_pallas_traced
             score, emits, bounds = viterbi_pallas_traced(
                 self.dh, jnp.asarray(codes), jnp.asarray(lengths),
                 jnp.asarray(regions), n_rows)
+            comb = jnp.concatenate(
+                [jax.lax.bitcast_convert_type(bounds, jnp.int32),
+                 emits], axis=1)
             _tick("dp_dispatch", t)
             return (seqs, B0, B, n_rows, codes, lengths, regions,
-                    vpaths_per_read, score, emits, bounds, None)
+                    vpaths_per_read, score, comb, None, None)
         score, mi, mj, choices = self._run_dp(
             jnp.asarray(codes), jnp.asarray(lengths),
             jnp.asarray(regions), n_rows)
@@ -496,8 +502,11 @@ class ViterbiAligner:
         jax.block_until_ready(score)
         t = _tick("dp", t)
         if traced:
-            # one combined [B, 8] fetch: score col 0, bounds cols 3:7
-            sb_h = np.asarray(mj)
+            # ONE combined fetch: cols 0:8 = score+bounds (f32 bits),
+            # cols 8: = nibble-packed traceback state strings
+            comb_h = np.asarray(mi)
+            sb_h = comb_h[:, :8].view(np.float32)
+            emits_h = comb_h[:, 8:]
             score_h = sb_h[:, 0]
         else:
             score_h = np.asarray(score)
@@ -517,10 +526,14 @@ class ViterbiAligner:
                 s2, e2, b2 = viterbi_pallas_traced(
                     self.dh, jnp.asarray(codes), jnp.asarray(lengths),
                     jnp.asarray(regions2), n_rows)
+                comb2 = jnp.concatenate(
+                    [jax.lax.bitcast_convert_type(b2, jnp.int32), e2],
+                    axis=1)
                 score = jnp.where(fmask, s2, score)
-                mi = jnp.where(fmask[:, None], e2, mi)      # emits
-                mj = jnp.where(fmask[:, None], b2, mj)      # score+bounds
-                sb_h = np.asarray(mj)
+                mi = jnp.where(fmask[:, None], comb2, mi)
+                comb_h = np.asarray(mi)
+                sb_h = comb_h[:, :8].view(np.float32)
+                emits_h = comb_h[:, 8:]
                 score_h = sb_h[:, 0]
             else:
                 s2, i2, j2, c2 = self._run_dp(
@@ -534,12 +547,12 @@ class ViterbiAligner:
 
         alns: list[HmmAlignment] = []
         if traced:
-            # in-kernel traceback: mi holds the packed state strings,
-            # mj the (aln_start, aln_end, aln_from, aln_to) bounds
+            # in-kernel traceback: the combined download above already
+            # holds the packed state strings + bounds
             from .pallas_viterbi import unpack_emits
             from .profile import build_global_align_path
             t = time.time()
-            emits = unpack_emits(np.asarray(mi))
+            emits = unpack_emits(emits_h)
             bounds = sb_h[:, 3:7].astype(np.int32)
             t = _tick("trace_dl", t)
             for r in range(B):
