@@ -345,15 +345,20 @@ def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
                           n_rows: int, interpret: bool = False):
     """Pallas Viterbi + in-kernel traceback.
 
-    Returns (score [B], emits [B, TPS] int32 nibble-packed reverse
-    state strings — decode with unpack_emits — and sb [B, 8] f32
-    with score at col 0 and (aln_start, aln_end, aln_from, aln_to)
-    1-based at cols 3:7 — one combined host download covers both).
+    Returns (score [B], comb [B, 8+TPS] int32): comb cols 0:8 are the
+    f32 score+bounds bits (score at col 0, 1-based aln_start, aln_end,
+    aln_from, aln_to at cols 3:7), cols 8: the nibble-packed reverse
+    state strings (decode with unpack_emits) — ONE host download
+    covers everything, and it is fused into this jit so it is ready
+    the moment `score` is (a separate device op would queue behind the
+    next batch's DP kernel and serialize the assignment stream).
     The choice planes stay in VMEM scratch and never touch HBM.
     """
     score, _, _, _, emits, sb = _viterbi_pallas_full(
         dh, codes, lengths, regions, n_rows, interpret, traced=True)
-    return score, emits, sb
+    comb = jnp.concatenate(
+        [jax.lax.bitcast_convert_type(sb, jnp.int32), emits], axis=1)
+    return score, comb
 
 
 def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,

@@ -474,12 +474,9 @@ class ViterbiAligner:
             # (each device->host fetch through a tunneled link pays a
             # large fixed latency)
             from .pallas_viterbi import viterbi_pallas_traced
-            score, emits, bounds = viterbi_pallas_traced(
+            score, comb = viterbi_pallas_traced(
                 self.dh, jnp.asarray(codes), jnp.asarray(lengths),
                 jnp.asarray(regions), n_rows)
-            comb = jnp.concatenate(
-                [jax.lax.bitcast_convert_type(bounds, jnp.int32),
-                 emits], axis=1)
             _tick("dp_dispatch", t)
             return (seqs, B0, B, n_rows, codes, lengths, regions,
                     vpaths_per_read, score, comb, None, None)
@@ -523,12 +520,9 @@ class ViterbiAligner:
             fmask = jnp.asarray(failed)
             if traced:
                 from .pallas_viterbi import viterbi_pallas_traced
-                s2, e2, b2 = viterbi_pallas_traced(
+                s2, comb2 = viterbi_pallas_traced(
                     self.dh, jnp.asarray(codes), jnp.asarray(lengths),
                     jnp.asarray(regions2), n_rows)
-                comb2 = jnp.concatenate(
-                    [jax.lax.bitcast_convert_type(b2, jnp.int32), e2],
-                    axis=1)
                 score = jnp.where(fmask, s2, score)
                 mi = jnp.where(fmask[:, None], comb2, mi)
                 comb_h = np.asarray(mi)

@@ -358,11 +358,11 @@ class TestPallasKernel:
         args = (al.dh, jnp.asarray(codes), jnp.asarray(lengths),
                 jnp.asarray(regions), n_rows)
         s1, i1, j1, pk = viterbi_pallas(*args, interpret=True)
-        s2, emits, sb = viterbi_pallas_traced(*args,
-                                              interpret=True)
+        s2, comb = viterbi_pallas_traced(*args, interpret=True)
         np.testing.assert_allclose(np.asarray(s1), np.asarray(s2))
-        em = unpack_emits(np.asarray(emits))
-        sb = np.asarray(sb)
+        comb = np.asarray(comb)
+        em = unpack_emits(comb[:, 8:])
+        sb = comb[:, :8].view(np.float32)
         np.testing.assert_allclose(sb[:, 0], np.asarray(s1))
         bounds = sb[:, 3:7].astype(np.int32)
         pk_h = np.asarray(pk)
