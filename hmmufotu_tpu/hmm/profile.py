@@ -754,12 +754,12 @@ def build_global_align_path(hmm: ProfileHMM, seq: str,
         run_s = ii[np.r_[True, np.diff(ii) > 1]]
         run_e = ii[np.r_[np.diff(ii) > 1, True]]
         n_ev = len(states)
-        # next M event index at or after each position
-        next_m = np.full(n_ev + 1, n_ev, np.int64)
-        for t in range(n_ev - 1, -1, -1):
-            next_m[t] = t if is_m[t] else next_m[t + 1]
-        for s0, e0 in zip(run_s, run_e):
-            t = int(next_m[e0 + 1])
+        # next M event index at or after run end + 1 (searchsorted
+        # instead of a Python backward scan over the whole path)
+        m_idx = np.nonzero(is_m)[0]
+        pos_m = np.searchsorted(m_idx, run_e + 1)
+        for s0, e0, pm in zip(run_s, run_e, pos_m):
+            t = int(m_idx[pm]) if pm < len(m_idx) else n_ev
             if t >= n_ev or t == 0:
                 continue
             km = int(k_ev[t])
