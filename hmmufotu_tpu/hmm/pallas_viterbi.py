@@ -96,12 +96,14 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
 
     lengths = meta_ref[:, 0:1]                      # [R, 1] int32
 
-    # hoist the row-invariant parts of the region masks out of the
-    # row loop: the j-rectangle test and the diagonal base jj - j_lo
-    # never change with i, so per row only two [R, KP] compares per
-    # region remain (the i-rectangle test is [R, 1])
+    # each region covers, at row i, one contiguous j-interval:
+    # the j-rectangle [j_lo, j_hi] clamped to valid lanes [1, K],
+    # optionally intersected with the diagonal band
+    # [j_lo + (i - i_lo) - hi_d, j_lo + (i - i_lo) - lo_d].
+    # All bounds are [R, 1] int32 scalars (an 11x narrower tile than
+    # [R, KP]); per row each region costs two wide compares + ors
+    # instead of the previous per-lane rectangle/diagonal masks.
     reg_pre = []
-    lane_base = (jj >= 1) & lane_valid
     for reg in range(MAX_REGIONS):
         base = 8 + reg * REGION_WIDTH
         j_lo = meta_ref[:, base + 0:base + 1]
@@ -112,22 +114,23 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
         diag = meta_ref[:, base + 5:base + 6]
         lo_d = meta_ref[:, base + 6:base + 7]
         hi_d = meta_ref[:, base + 7:base + 8]
-        jmask = (jj >= j_lo) & (jj <= j_hi) & lane_base   # [R, KP]
-        nodiag = (diag == 0) & jnp.ones((R, KP), jnp.bool_)
-        jbase = jj - j_lo                                 # [R, KP]
-        reg_pre.append((jmask, nodiag, jbase, i_lo, i_hi, lo_d, hi_d,
-                        ent == 1))
+        j_lo1 = jnp.maximum(j_lo, 1)                      # [R, 1]
+        j_hi1 = jnp.minimum(j_hi, K)
+        reg_pre.append((j_lo1, j_hi1, j_lo, i_lo, i_hi, lo_d, hi_d,
+                        diag != 0, ent == 1))
 
     def masks_for_row(i):
         allowed = jnp.zeros((R, KP), jnp.bool_)
         entry_ok = jnp.zeros((R, KP), jnp.bool_)
-        for (jmask, nodiag, jbase, i_lo, i_hi, lo_d, hi_d,
+        for (j_lo1, j_hi1, j_lo, i_lo, i_hi, lo_d, hi_d, isdiag,
              ent1) in reg_pre:
-            irect = (i >= i_lo) & (i <= i_hi)             # [R, 1]
             ci = i - i_lo                                 # [R, 1]
-            ok_diag = nodiag | ((jbase <= ci - lo_d)
-                                & (jbase >= ci - hi_d))
-            cov = jmask & ok_diag & irect
+            lo = jnp.where(isdiag,
+                           jnp.maximum(j_lo1, j_lo + ci - hi_d), j_lo1)
+            hi = jnp.where(isdiag,
+                           jnp.minimum(j_hi1, j_lo + ci - lo_d), j_hi1)
+            lo = jnp.where((i >= i_lo) & (i <= i_hi), lo, KP + 2)
+            cov = (jj >= lo) & (jj <= hi)                 # [R, KP]
             allowed = allowed | cov
             entry_ok = entry_ok | (cov & ent1)
         return allowed, entry_ok
