@@ -137,20 +137,21 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
 
     def body(i, carry):
         Mp, Ip, Dp, best, best_i, best_j, packbuf = carry
-        # per-read emission rows gathered by base; codes are packed
+        # per-read emission rows selected by base; codes are packed
         # 16 bases per int32 word in SMEM (2 bits each) to stay under
-        # the 1MB SMEM cap at large batch sizes
-        em_rows = []
-        ei_rows = []
+        # the 1MB SMEM cap at large batch sizes.  Broadcast-select of
+        # the 4 emission rows beats 16 dynamic sublane slices + concats
         word_i = (i - 1) >> 4
         shift_i = 2 * ((i - 1) & 15)
-        for r in range(R):
-            w_r = codes_s[prog * R + r, word_i]
-            b_r = (w_r >> shift_i) & 3
-            em_rows.append(em_ref[pl.ds(b_r, 1), :])
-            ei_rows.append(em_ref[pl.ds(b_r + 4, 1), :])
-        em = jnp.concatenate(em_rows, axis=0)       # [R, KP]
-        ei = jnp.concatenate(ei_rows, axis=0)
+        b_vec = jnp.stack(
+            [(codes_s[prog * R + r, word_i] >> shift_i) & 3
+             for r in range(R)]).reshape(R, 1)      # [R, 1] int32
+        em = em_ref[0:1, :] + jnp.zeros((R, KP), jnp.float32)
+        ei = em_ref[4:5, :] + jnp.zeros((R, KP), jnp.float32)
+        for b in range(1, 4):
+            pick = b_vec == b
+            em = jnp.where(pick, em_ref[b:b + 1, :], em)
+            ei = jnp.where(pick, em_ref[b + 4:b + 5, :], ei)
 
         fi = i.astype(jnp.float32)
         col0 = jnp.where(i == 1, 0.0, t_NN * (fi - 1.0)) + t_NB
