@@ -49,8 +49,12 @@ def prepare_training_data(msa: MSA, symfrac: float):
     sym_wfrac = msa.sym_wfrac()
     is_match = sym_wfrac >= symfrac
     wfreq = msa.sym_wfreq()                    # [4, L]
-    data_me = wfreq[:, is_match].T             # [cME, 4]
-    data_ie = wfreq[:, ~is_match].T
+    # observation matrices are [K, n_cols] (symbols x columns), the
+    # orientation DirichletModel.train_ml/cost consume (the reference's
+    # Eigen MatrixXd with one observation per column,
+    # hmmufotu-train-dm.cpp:253-344)
+    data_me = wfreq[:, is_match]               # [4, cME]
+    data_ie = wfreq[:, ~is_match]
 
     codes = msa.codes
     w = msa.seq_weight
@@ -100,8 +104,8 @@ def prepare_training_data(msa: MSA, symfrac: float):
         if col_dt.any():
             data_dt.append(col_dt)
             col_dt = np.zeros(2)
-    return (data_me, data_ie, np.array(data_mt), np.array(data_it),
-            np.array(data_dt))
+    return (data_me, data_ie, np.array(data_mt).T, np.array(data_it).T,
+            np.array(data_dt).T)
 
 
 def main(argv=None) -> int:
@@ -118,8 +122,8 @@ def main(argv=None) -> int:
     data_me, data_ie, data_mt, data_it, data_dt = \
         prepare_training_data(msa, args.symfrac)
     log.info("Training data: ME %d IE %d MT %d IT %d DT %d cols",
-             len(data_me), len(data_ie), len(data_mt), len(data_it),
-             len(data_dt))
+             data_me.shape[1], data_ie.shape[1], data_mt.shape[1],
+             data_it.shape[1], data_dt.shape[1])
 
     pri = HmmPrior()
     best_cost = math.inf
