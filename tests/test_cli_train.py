@@ -41,12 +41,26 @@ def test_train_sm(tmp_path):
 def test_train_dm(tmp_path):
     from hmmufotu_tpu.cli.train_dm import main
     from hmmufotu_tpu.mathx.dirichlet import HmmPrior
+    # a small alignment slice keeps the mixture EM quick (the full
+    # fixture takes ~10 min; this is a smoke test, not a trainer)
+    small = tmp_path / "small.fasta"
+    seqs, cur = [], None
+    for line in open(MSA_F):
+        if line.startswith(">"):
+            if len(seqs) >= 20:
+                break
+            cur = [line.strip()]
+            seqs.append(cur)
+        else:
+            cur.append(line.strip())
+    small.write_text("\n".join(
+        s[0] + "\n" + "".join(s[1:])[:400] for s in seqs) + "\n")
     out = str(tmp_path / "t.dm")
-    # tiny seed count keeps the mixture training fast
-    assert main([MSA_F, "-o", out, "-n", "2", "-S", "0"]) == 0
+    assert main([str(small), "-o", out, "-n", "1", "-S", "0"]) == 0
     prior = HmmPrior.load(out)
-    assert prior.match_emission.alphas.shape[1] == 4
-    assert (prior.match_emission.alphas > 0).all()
+    assert prior.dmME.alpha.shape[0] == 4
+    assert (prior.dmME.alpha > 0).all()
+    assert prior.dmIT.alpha.shape[0] == 2
 
 
 @pytest.fixture(scope="module")
