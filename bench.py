@@ -33,8 +33,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
 os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "1")
 FIXTURES = os.path.join(REPO, "tests", "fixtures")
 DB_PREFIX = os.path.join(CACHE, "70_otus")
-N_READS = 4096
-BATCH = 1024
+N_READS = 8192
+BATCH = 2048
 BASELINE_READS_PER_S = 1000.0
 
 

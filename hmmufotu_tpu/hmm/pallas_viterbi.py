@@ -46,16 +46,35 @@ PAD_NIBBLE = 5                       # traceback pad state
 PAD_WORD = 0x55555555                # 8 pad nibbles per int32
 
 
-def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
-                    *refs, n_rows: int, K: int, KP: int,
-                    max_steps: int, traced: bool = False):
+def _viterbi_kernel(codes_s, scal_s, jb_s, meta_ref, tc_ref, em_ref,
+                    *refs, n_rows: int, K: int, KP: int, nw: int,
+                    max_steps: int, traced: bool = False,
+                    banded: bool = False):
     """One program = READS_PER_PROGRAM reads, full row loop.
 
-    codes_s: scalar-prefetch [B, n_rows] int32 read bases
+    codes_s: scalar-prefetch [B * nw] int32 — per read, nw words of
+             16 two-bit-packed bases (flattened 1-D: SMEM pads every
+             row of a 2-D scalar array to ~512 B, which overflows the
+             1 MB SMEM budget at B = 2048)
     scal_s:  scalar-prefetch [8] f32 special costs
              (t_NN, t_NB, t_CC, t_EC, Tmat_cost[K](I,M))
+    jb_s:    scalar-prefetch [B] int32 per-read band origin (absolute
+             profile position of lane 0; all-zero unless `banded`)
     meta_ref [R, 128] int32: col 0 = read length, cols 8.. = regions
-    tc_ref [16, KP] f32 packed transition costs, em_ref [8, KP] f32
+    tc_ref [16, KPF] f32 packed transition costs, em_ref [8, KPF] f32
+           (always FULL profile width)
+
+    `banded`: lanes are RELATIVE band coordinates — lane l of read r
+    is absolute profile position jb_s[r] + l, and KP is the band width
+    (lane count), typically a few 128-lane tiles instead of the full
+    padded profile.  Cost/emission rows are rotated per read into band
+    coordinates once at kernel start (pltpu.roll with a dynamic
+    shift); every j-semantic comparison uses the absolute position
+    jabs = lane + jb.  The banded-region DP only has finite cells
+    inside each read's region span, so a window covering
+    [min j_lo - 1, max j_hi] loses nothing (the reference's banded DP
+    never touches cells outside the regions either,
+    BandedHMMP7.cpp:782-892).
     """
     if traced:
         # choice planes never leave the chip: VMEM scratch, read back
@@ -65,34 +84,70 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
     else:
         choices_ref, best_ref, emits_ref = refs
     R = READS_PER_PROGRAM
+    KPF = tc_ref.shape[1]            # full padded profile width
     prog = pl.program_id(0)
     jj = jax.lax.broadcasted_iota(jnp.int32, (R, KP), 1)
-    lane_valid = jj <= K
 
     def shift_lanes(x, s, fill):
-        """x[..., j] -> x[..., j-s], `fill` in the first s lanes."""
+        """x[..., l] -> x[..., l-s], `fill` in the first s lanes."""
         rolled = pltpu.roll(x, s, 1)
         return jnp.where(jj < s, fill, rolled)
 
-    # rows of tc_ref: 0 TMM_sh 1 TIM_sh 2 TDM_sh 3 TMD_sh 4 TDD_sh
-    # 5 TMI 6 TII 7 entry 8 exit
-    TMM_sh = tc_ref[0:1, :]
-    TIM_sh = tc_ref[1:2, :]
-    TDM_sh = tc_ref[2:3, :]
-    TMD_sh = tc_ref[3:4, :]
-    TDD_sh = tc_ref[4:5, :]
-    TMI = tc_ref[5:6, :]
-    TII = tc_ref[6:7, :]
-    entry_c = tc_ref[7:8, :]
-    exit_c = tc_ref[8:9, :]
     t_NN = scal_s[0]
     t_NB = scal_s[1]
     t_CC = scal_s[2]
     t_EC = scal_s[3]
     tIMK = scal_s[4]
 
-    d_invalid = (jj <= 1) | (jj >= K)
-    is_lane_k = jj == K
+    # rows of tc_ref: 0 TMM_sh 1 TIM_sh 2 TDM_sh 3 TMD_sh 4 TDD_sh
+    # 5 TMI 6 TII 7 entry 8 exit
+    if banded:
+        jb_list = [jb_s[prog * R + r] for r in range(R)]
+        jb = jnp.stack(jb_list).reshape(R, 1)        # [R, 1] int32
+        jabs = jj + jb
+        # rotate the shared cost/emission rows into each read's band
+        # coordinates (one-time; the row loop then works on KP lanes).
+        # Lanes whose absolute position wraps past KPF read garbage
+        # cost values, but their jabs > K so every recurrence masks
+        # them to +inf below.
+        tc_r, em_r = [], []
+        for r in range(R):
+            sh = (KPF - jb_list[r]) % KPF
+            tc_r.append(pltpu.roll(tc_ref[:, :], sh, 1)[:, :KP])
+            em_r.append(pltpu.roll(em_ref[:, :], sh, 1)[:, :KP])
+
+        def tc_plane(row):
+            return jnp.concatenate(
+                [tc_r[r][row:row + 1, :] for r in range(R)], axis=0)
+
+        def em_plane(row):
+            return jnp.concatenate(
+                [em_r[r][row:row + 1, :] for r in range(R)], axis=0)
+    else:
+        jb = jnp.zeros((R, 1), jnp.int32)
+        jabs = jj
+
+        def tc_plane(row):
+            return tc_ref[row:row + 1, :]
+
+        def em_plane(row):
+            return em_ref[row:row + 1, :]
+
+    TMM_sh = tc_plane(0)
+    TIM_sh = tc_plane(1)
+    TDM_sh = tc_plane(2)
+    TMD_sh = tc_plane(3)
+    TDD_sh = tc_plane(4)
+    TMI = tc_plane(5)
+    TII = tc_plane(6)
+    entry_c = tc_plane(7)
+    exit_c = tc_plane(8)
+    EM_pl = [em_plane(b) for b in range(4)]
+    EI_pl = [em_plane(b + 4) for b in range(4)]
+
+    lane_valid = jabs <= K
+    d_invalid = (jabs <= 1) | (jabs >= K)
+    is_lane_k = jabs == K
 
     lengths = meta_ref[:, 0:1]                      # [R, 1] int32
 
@@ -129,8 +184,9 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
                            jnp.maximum(j_lo1, j_lo + ci - hi_d), j_lo1)
             hi = jnp.where(isdiag,
                            jnp.minimum(j_hi1, j_lo + ci - lo_d), j_hi1)
-            lo = jnp.where((i >= i_lo) & (i <= i_hi), lo, KP + 2)
-            cov = (jj >= lo) & (jj <= hi)                 # [R, KP]
+            lo = jnp.where((i >= i_lo) & (i <= i_hi), lo,
+                           jnp.int32(2 ** 30))
+            cov = (jabs >= lo) & (jabs <= hi)             # [R, KP]
             allowed = allowed | cov
             entry_ok = entry_ok | (cov & ent1)
         return allowed, entry_ok
@@ -144,14 +200,14 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
         word_i = (i - 1) >> 4
         shift_i = 2 * ((i - 1) & 15)
         b_vec = jnp.stack(
-            [(codes_s[prog * R + r, word_i] >> shift_i) & 3
+            [(codes_s[(prog * R + r) * nw + word_i] >> shift_i) & 3
              for r in range(R)]).reshape(R, 1)      # [R, 1] int32
-        em = em_ref[0:1, :] + jnp.zeros((R, KP), jnp.float32)
-        ei = em_ref[4:5, :] + jnp.zeros((R, KP), jnp.float32)
+        em = EM_pl[0] + jnp.zeros((R, KP), jnp.float32)
+        ei = EI_pl[0] + jnp.zeros((R, KP), jnp.float32)
         for b in range(1, 4):
             pick = b_vec == b
-            em = jnp.where(pick, em_ref[b:b + 1, :], em)
-            ei = jnp.where(pick, em_ref[b + 4:b + 5, :], ei)
+            em = jnp.where(pick, EM_pl[b], em)
+            ei = jnp.where(pick, EI_pl[b], ei)
 
         fi = i.astype(jnp.float32)
         col0 = jnp.where(i == 1, 0.0, t_NN * (fi - 1.0)) + t_NB
@@ -171,20 +227,20 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
                 optM <= mn, 1, jnp.where(optI <= mn, 2, 3)))
         # j==1 traceback uses the B/I pair only (cpp:966-973)
         c1 = jnp.where(optB <= optI, 0, 2)
-        choiceM = jnp.where(jj == 1, c1, choiceM)
+        choiceM = jnp.where(jabs == 1, c1, choiceM)
         Mn = jnp.where(allowed, Mn, INF)
-        Mn = jnp.where(jj == 0, col0, Mn)
+        Mn = jnp.where(jabs == 0, col0, Mn)
 
         iM = Mp + TMI
         iI = Ip + TII
         In = ei + jnp.minimum(iM, iI)
         choiceI = (iM > iI).astype(jnp.int32)
         In = jnp.where(allowed, In, INF)
-        In = jnp.where(jj == 0, col0, In)
+        In = jnp.where(jabs == 0, col0, In)
         # j==0 I choice: current-row B column vs I(i-1,0)
-        ci0 = (Mn[:, 0:1] + TMI[0:1, 0:1]
-               > Ip[:, 0:1] + TII[0:1, 0:1]).astype(jnp.int32)
-        choiceI = jnp.where(jj == 0, ci0, choiceI)
+        ci0 = (Mn[:, 0:1] + TMI[:, 0:1]
+               > Ip[:, 0:1] + TII[:, 0:1]).astype(jnp.int32)
+        choiceI = jnp.where(jabs == 0, ci0, choiceI)
 
         # D chain x_j = min(a_j, x_{j-1} + c_j): min-plus doubling
         Mn_sh = shift_lanes(Mn, 1, INF)
@@ -218,8 +274,8 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
 
         row_min_m = jnp.min(s_m, axis=1, keepdims=True)   # [R, 1]
         ismin = s_m == row_min_m
-        row_j_m = jnp.min(jnp.where(ismin, jj, KP + 2), axis=1,
-                          keepdims=True)
+        row_j_m = jnp.min(jnp.where(ismin, jabs, jnp.int32(2 ** 30)),
+                          axis=1, keepdims=True)
         row_min = jnp.minimum(row_min_m, s_i)
         row_j = jnp.where(row_min_m <= s_i, row_j_m, K + 1) \
             .astype(jnp.int32)
@@ -262,7 +318,8 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
     gg_t = jax.lax.broadcasted_iota(jnp.int32, (R, TPS), 1)
 
     s_v = jnp.where(best_j <= K, 1, 2)           # M or I   [R,1]
-    j_0 = jnp.minimum(best_j, K)
+    j_0 = jnp.minimum(best_j, K)                 # absolute
+    j_0r = j_0 - jb                              # band-relative walk
     i_0 = best_i
 
     def tcond(state):
@@ -297,7 +354,7 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
         is_m = s == 1
         is_i = s == 2
         is_d = s == 3
-        nxt_i = jnp.where(j > 0, jnp.where(ci == 0, 1, 2),
+        nxt_i = jnp.where(j + jb > 0, jnp.where(ci == 0, 1, 2),
                           jnp.where(ci == 0, 0, 2))
         nxt_d = jnp.where(cd == 0, 1, 3)
         s_n = jnp.where(is_m, cm,
@@ -314,7 +371,7 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
                 done_n.astype(jnp.int32), buf)
 
     tinit = (jnp.int32(0), jnp.int32(R),
-             s_v, i_0, j_0, jnp.zeros((R, 1), jnp.int32),
+             s_v, i_0, j_0r, jnp.zeros((R, 1), jnp.int32),
              jnp.full((R, TPS), PAD_WORD, jnp.int32))
     _, _, _, i_f, j_f, _, buf = jax.lax.while_loop(
         tcond, tbody, tinit)
@@ -323,7 +380,7 @@ def _viterbi_kernel(codes_s, scal_s, meta_ref, tc_ref, em_ref,
     f32 = lambda x: x.astype(jnp.float32)
     out = jnp.concatenate(
         [best, f32(best_i), f32(best_j),
-         f32(j_f + 1), f32(j_0), f32(i_f + 1), f32(i_0),
+         f32(j_f + jb + 1), f32(j_0), f32(i_f + 1), f32(i_0),
          jnp.zeros((READS_PER_PROGRAM, 121), jnp.float32)], axis=1)
     best_ref[:, :] = out
 
@@ -344,9 +401,10 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
     return score, min_i, min_j, packed
 
 
-@partial(jax.jit, static_argnames=("n_rows", "interpret"))
+@partial(jax.jit, static_argnames=("n_rows", "interpret", "KB"))
 def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
-                          n_rows: int, interpret: bool = False):
+                          n_rows: int, interpret: bool = False,
+                          j_base=None, KB: int | None = None):
     """Pallas Viterbi + in-kernel traceback.
 
     Returns (score [B], comb [B, 8+TPS] int32): comb cols 0:8 are the
@@ -357,22 +415,127 @@ def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
     the moment `score` is (a separate device op would queue behind the
     next batch's DP kernel and serialize the assignment stream).
     The choice planes stay in VMEM scratch and never touch HBM.
+
+    j_base/KB: band-relative lane mode — lane 0 of read r is absolute
+    profile position j_base[r] and only KB lanes are processed; every
+    read's regions must fit in [j_base, j_base + KB).  Use
+    viterbi_pallas_traced_split for automatic narrow/wide routing.
     """
     score, _, _, _, emits, sb = _viterbi_pallas_full(
-        dh, codes, lengths, regions, n_rows, interpret, traced=True)
+        dh, codes, lengths, regions, n_rows, interpret, traced=True,
+        j_base=j_base, KB=KB)
     comb = jnp.concatenate(
         [jax.lax.bitcast_convert_type(sb, jnp.int32), emits], axis=1)
     return score, comb
 
 
+DEFAULT_BAND_LANES = 384
+
+
+def viterbi_pallas_traced_split(dh: DeviceHMM, codes, lengths, regions,
+                                n_rows: int,
+                                KB: int = DEFAULT_BAND_LANES,
+                                wide_floor: int = 128,
+                                interpret: bool = False):
+    """Traced Pallas Viterbi with automatic narrow/wide band routing.
+
+    Host-side (numpy) preprocessing splits the batch by band extent:
+    reads whose region span fits in a KB-lane window run in the
+    band-relative kernel (a few 128-lane tiles instead of the full
+    padded profile — at fixture shape ~98% of seeded reads fit in 3
+    tiles vs 11), the rest (unseeded full-DP reads, extreme bands) run
+    in a small full-width launch whose rows are scattered back.  Both
+    launches live in ONE jit, so the stream still pays a single
+    dispatch and a single combined download.
+
+    codes/lengths/regions must be numpy arrays (the band extents are
+    computed before tracing).  Returns (score [B], comb) exactly like
+    viterbi_pallas_traced.
+    """
+    K = dh.K
+    KPF = _round_up(K + 2, 128)
+    codes_j = jnp.asarray(codes)
+    lengths_j = jnp.asarray(lengths)
+    regions_j = jnp.asarray(regions)
+    if KB >= KPF:
+        # band window would not be narrower than the full profile
+        return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
+                                     n_rows, interpret)
+    reg = np.asarray(regions)
+    used = reg[:, :, 1] > 0
+    jlo = np.where(used, np.maximum(reg[:, :, 0], 1),
+                   np.int64(1) << 40).min(axis=1)
+    jhi = np.where(used, np.minimum(reg[:, :, 1], K), 0).max(axis=1)
+    jb = np.maximum(jlo - 1, 0).astype(np.int64)
+    none_used = ~used.any(axis=1)          # padded rows
+    jb[none_used] = 0
+    wide = (jhi - jb + 1 > KB) & ~none_used
+    jb[wide] = 0                           # narrow rows are discarded
+    jb = jnp.asarray(jb.astype(np.int32))
+    n_wide = int(wide.sum())
+    if n_wide == 0:
+        return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
+                                     n_rows, interpret, j_base=jb,
+                                     KB=KB)
+    B = reg.shape[0]
+    if 2 * n_wide >= B:
+        # mostly wide: the split overhead isn't worth it
+        return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
+                                     n_rows, interpret)
+    # pad the wide row set to a power-of-two bucket (>= wide_floor) so
+    # batch-to-batch variation reuses one compiled shape
+    Bw = max(wide_floor, 1 << (n_wide - 1).bit_length())
+    Bw = min(Bw, _round_up(B, READS_PER_PROGRAM))
+    widx = np.zeros(Bw, np.int32)
+    widx[:n_wide] = np.nonzero(wide)[0]
+    wvalid = np.zeros(Bw, bool)
+    wvalid[:n_wide] = True
+    return _viterbi_split_jit(dh, codes_j, lengths_j, regions_j, jb,
+                              jnp.asarray(widx), jnp.asarray(wvalid),
+                              n_rows, KB, interpret)
+
+
+@partial(jax.jit, static_argnames=("n_rows", "KB", "interpret"))
+def _viterbi_split_jit(dh: DeviceHMM, codes, lengths, regions, jb,
+                       widx, wvalid, n_rows: int, KB: int,
+                       interpret: bool = False):
+    """Narrow band launch over the whole batch + full-width launch
+    over the gathered wide rows, scattered back — one jit, one
+    downloadable (score, comb) pair."""
+    score_n, comb_n = viterbi_pallas_traced(
+        dh, codes, lengths, regions, n_rows, interpret, j_base=jb,
+        KB=KB)
+    score_w, comb_w = viterbi_pallas_traced(
+        dh, codes[widx], lengths[widx], regions[widx], n_rows,
+        interpret)
+    Tn, Tw = comb_n.shape[1], comb_w.shape[1]
+    if Tw > Tn:
+        comb_n = jnp.concatenate(
+            [comb_n, jnp.full((comb_n.shape[0], Tw - Tn), PAD_WORD,
+                              jnp.int32)], axis=1)
+    B = comb_n.shape[0]
+    rows = jnp.where(wvalid, widx, B)      # invalid pads -> dump row
+    comb = jnp.concatenate(
+        [comb_n, jnp.zeros((1, comb_n.shape[1]), jnp.int32)])
+    comb = comb.at[rows].set(comb_w)[:B]
+    score = jnp.concatenate([score_n, jnp.zeros((1,), score_n.dtype)])
+    score = score.at[rows].set(score_w)[:B]
+    return score, comb
+
+
 def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
                          n_rows: int, interpret: bool = False,
-                         traced: bool = False):
+                         traced: bool = False,
+                         j_base=None, KB: int | None = None):
     B0 = codes.shape[0]
     K = dh.K
-    KP = _round_up(K + 2, 128)
+    KPF = _round_up(K + 2, 128)      # full padded profile width
+    banded = j_base is not None
+    KP = KPF if KB is None else min(KB, KPF)   # DP lane count
     R = READS_PER_PROGRAM
     B = _round_up(B0, R)
+    if not banded:
+        j_base = jnp.zeros((B0,), jnp.int32)
     if B != B0:
         codes = jnp.concatenate(
             [codes, jnp.zeros((B - B0,) + codes.shape[1:],
@@ -382,30 +545,32 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         regions = jnp.concatenate(
             [regions, jnp.zeros((B - B0,) + regions.shape[1:],
                                 regions.dtype)])
+        j_base = jnp.concatenate(
+            [j_base, jnp.zeros((B - B0,), j_base.dtype)])
     if n_rows % PACK_ROWS:
         raise ValueError(f"n_rows {n_rows} must be a multiple of "
                          f"{PACK_ROWS}")
 
     def padded(v, fill=np.inf):
-        out = jnp.full((KP,), fill, jnp.float32)
+        out = jnp.full((KPF,), fill, jnp.float32)
         return out.at[: v.shape[0]].set(v.astype(jnp.float32))
 
     def shift1(v):
         return jnp.concatenate(
             [jnp.full((1,), INF, jnp.float32), v[:-1]])
 
-    zero_row = jnp.zeros((KP,), jnp.float32)
+    zero_row = jnp.zeros((KPF,), jnp.float32)
     tc = jnp.stack([
         padded(shift1(dh.TMM)), padded(shift1(dh.TIM)),
         padded(shift1(dh.TDM)), padded(shift1(dh.TMD)),
         padded(shift1(dh.TDD)), padded(dh.TMI), padded(dh.TII),
         padded(dh.entry), padded(dh.exit), zero_row,
         zero_row, zero_row, zero_row, zero_row, zero_row, zero_row,
-    ])                                              # [16, KP]
+    ])                                              # [16, KPF]
     em = jnp.concatenate([
         jnp.stack([padded(dh.EM[b]) for b in range(4)]),
         jnp.stack([padded(dh.EI[b]) for b in range(4)]),
-    ])                                              # [8, KP]
+    ])                                              # [8, KPF]
     scal = jnp.stack([
         dh.t_NN.astype(jnp.float32), dh.t_NB.astype(jnp.float32),
         dh.t_CC.astype(jnp.float32), dh.t_EC.astype(jnp.float32),
@@ -424,32 +589,35 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         jnp.clip(codes.astype(jnp.int32), 0, 3))
     shifts = (2 * (jnp.arange(16, dtype=jnp.int32)))[None, None, :]
     codes_i = (cpad.reshape(B, nw, 16) << shifts).sum(axis=2) \
-        .astype(jnp.int32)
+        .astype(jnp.int32).reshape(B * nw)
 
-    # traceback emit buffer: path length <= n_rows + K + 2 states,
-    # 8 per int32 word, lane dim padded to 128 words
-    max_steps = _round_up(n_rows + K + 2, 8)
+    # traceback emit buffer: path length <= n_rows + (j travel) + 2
+    # states, 8 per int32 word, lane dim padded to 128 words; in band
+    # mode j can only travel the KP-lane window
+    max_steps = _round_up(n_rows + min(K, KP if banded else K) + 2, 8)
     TPS = _round_up(max_steps // 8, 128)
     max_steps = TPS * 8
 
+    jb_arr = j_base.astype(jnp.int32)
+
     in_specs = [
-        pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
+        pl.BlockSpec((R, 128), lambda p, cs, ss, jbs: (p, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((16, KP), lambda p, cs, ss: (0, 0),
+        pl.BlockSpec((16, KPF), lambda p, cs, ss, jbs: (0, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, KP), lambda p, cs, ss: (0, 0),
+        pl.BlockSpec((8, KPF), lambda p, cs, ss, jbs: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    best_spec = pl.BlockSpec((R, 128), lambda p, cs, ss: (p, 0),
+    best_spec = pl.BlockSpec((R, 128), lambda p, cs, ss, jbs: (p, 0),
                              memory_space=pltpu.VMEM)
-    emits_spec = pl.BlockSpec((R, TPS), lambda p, cs, ss: (p, 0),
+    emits_spec = pl.BlockSpec((R, TPS), lambda p, cs, ss, jbs: (p, 0),
                               memory_space=pltpu.VMEM)
     G = n_rows // PACK_ROWS
     if traced:
         # choice planes = per-program VMEM scratch (never written to
         # HBM; only the packed state strings + bounds leave the chip)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B // R,),
             in_specs=in_specs,
             out_specs=[best_spec, emits_spec],
@@ -457,29 +625,31 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         )
         best, emits = pl.pallas_call(
             partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
-                    max_steps=max_steps, traced=True),
+                    nw=nw, max_steps=max_steps, traced=True,
+                    banded=banded),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((B, 128), jnp.float32),
                 jax.ShapeDtypeStruct((B, TPS), jnp.int32),
             ],
             interpret=interpret,
-        )(codes_i, scal, meta, tc, em)
+        )(codes_i, scal, jb_arr, meta, tc, em)
         packed = None
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=2,
+            num_scalar_prefetch=3,
             grid=(B // R,),
             in_specs=in_specs,
             out_specs=[
-                pl.BlockSpec((G, R, KP), lambda p, cs, ss: (0, p, 0),
+                pl.BlockSpec((G, R, KP),
+                             lambda p, cs, ss, jbs: (0, p, 0),
                              memory_space=pltpu.VMEM),
                 best_spec, emits_spec,
             ],
         )
         packed, best, emits = pl.pallas_call(
             partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
-                    max_steps=max_steps),
+                    nw=nw, max_steps=max_steps, banded=banded),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((G, B, KP), jnp.int32),
@@ -487,7 +657,7 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
                 jax.ShapeDtypeStruct((B, TPS), jnp.int32),
             ],
             interpret=interpret,
-        )(codes_i, scal, meta, tc, em)
+        )(codes_i, scal, jb_arr, meta, tc, em)
         packed = packed[:, :B0]
     best = best[:B0]
     emits = emits[:B0]

@@ -473,10 +473,9 @@ class ViterbiAligner:
             # into ONE [B, 8+TPS] int32 array = one host download
             # (each device->host fetch through a tunneled link pays a
             # large fixed latency)
-            from .pallas_viterbi import viterbi_pallas_traced
-            score, comb = viterbi_pallas_traced(
-                self.dh, jnp.asarray(codes), jnp.asarray(lengths),
-                jnp.asarray(regions), n_rows)
+            from .pallas_viterbi import viterbi_pallas_traced_split
+            score, comb = viterbi_pallas_traced_split(
+                self.dh, codes, lengths, regions, n_rows)
             _tick("dp_dispatch", t)
             return (seqs, B0, B, n_rows, codes, lengths, regions,
                     vpaths_per_read, score, comb, None, None)
@@ -519,13 +518,24 @@ class ViterbiAligner:
                 regions2[r] = full_dp_regions(n_rows, hmm.K)
             fmask = jnp.asarray(failed)
             if traced:
-                from .pallas_viterbi import viterbi_pallas_traced
-                s2, comb2 = viterbi_pallas_traced(
-                    self.dh, jnp.asarray(codes), jnp.asarray(lengths),
-                    jnp.asarray(regions2), n_rows)
-                score = jnp.where(fmask, s2, score)
-                mi = jnp.where(fmask[:, None], comb2, mi)
-                comb_h = np.asarray(mi)
+                # host-side row merge: the rerun's comb width may
+                # differ from the first pass's (narrow-band TPS vs
+                # full-width TPS) — pad both to the wider layout
+                from .pallas_viterbi import (PAD_WORD,
+                                             viterbi_pallas_traced_split)
+                s2, comb2 = viterbi_pallas_traced_split(
+                    self.dh, codes, lengths, regions2, n_rows)
+                comb2_h = np.asarray(comb2)
+                wmax = max(comb_h.shape[1], comb2_h.shape[1])
+
+                def _padw(a):
+                    out = np.full((a.shape[0], wmax), PAD_WORD,
+                                  np.int32)
+                    out[:, :a.shape[1]] = a
+                    return out
+
+                comb_h = _padw(comb_h)
+                comb_h[failed] = _padw(comb2_h)[failed]
                 sb_h = comb_h[:, :8].view(np.float32)
                 emits_h = comb_h[:, 8:]
                 score_h = sb_h[:, 0]

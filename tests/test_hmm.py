@@ -379,6 +379,65 @@ class TestPallasKernel:
             assert tuple(bounds[r]) == want[1:]
 
 
+class TestBandedSplitKernel:
+    def test_split_matches_full_width(self, hmm, msa):
+        """The band-relative kernel + narrow/wide split must reproduce
+        the full-width traced kernel bit-for-bit: the banded DP has
+        finite cells only inside each read's regions, so a window
+        covering the region span computes the identical recurrence
+        (interpret mode on CPU)."""
+        import jax.numpy as jnp
+        from hmmufotu_tpu import pipeline as pl
+        from hmmufotu_tpu.hmm import NGCL, ViterbiAligner
+        from hmmufotu_tpu.hmm.viterbi import (banded_regions,
+                                              full_dp_regions)
+        from hmmufotu_tpu.hmm.pallas_viterbi import (
+            unpack_emits, viterbi_pallas_traced,
+            viterbi_pallas_traced_split)
+        from hmmufotu_tpu.index.csfm import CSFMIndex
+
+        hmm.set_sequence_mode(NGCL)
+        hmm.wing_retract()
+        al = ViterbiAligner(hmm, kernel="scan")
+        csfm = CSFMIndex.build(msa)
+        rng = np.random.default_rng(11)
+        reads = []
+        for r in range(16):
+            codes = msa.ds_at(int(rng.integers(msa.num_seq)))
+            pos = np.nonzero(codes >= 0)[0]
+            st = int(rng.integers(0, max(1, len(pos) - 130)))
+            w = pos[st:st + 120]
+            reads.append("".join("ACGT"[c] for c in codes[w]))
+        vpaths = pl.batch_find_seed_vpaths(hmm, csfm, reads, mode=NGCL,
+                                           rng=rng)
+        vpaths[3] = None   # force two full-DP (wide) rows
+        vpaths[9] = None
+        n_rows = 120
+        B = len(reads)
+        codes_a = np.zeros((B, n_rows), np.int8)
+        lengths = np.full(B, n_rows, np.int32)
+        regions = np.zeros((B, 5, 8), np.int32)
+        for r, s in enumerate(reads):
+            codes_a[r] = np.clip(hmm.abc.encode(s), 0, 3)
+            regions[r] = (banded_regions(vpaths[r], hmm.K, len(s))
+                          if vpaths[r]
+                          else full_dp_regions(n_rows, hmm.K))
+
+        s1, comb1 = viterbi_pallas_traced(
+            al.dh, jnp.asarray(codes_a), jnp.asarray(lengths),
+            jnp.asarray(regions), n_rows, interpret=True)
+        s2, comb2 = viterbi_pallas_traced_split(
+            al.dh, codes_a, lengths, regions, n_rows, KB=384,
+            wide_floor=8, interpret=True)
+        np.testing.assert_array_equal(np.asarray(s1), np.asarray(s2))
+        c1, c2 = np.asarray(comb1), np.asarray(comb2)
+        np.testing.assert_array_equal(c1[:, :8], c2[:, :8])
+        e1, e2 = unpack_emits(c1[:, 8:]), unpack_emits(c2[:, 8:])
+        for r in range(B):
+            np.testing.assert_array_equal(e1[r][e1[r] != 5],
+                                          e2[r][e2[r] != 5])
+
+
 class TestNativeSAIS:
     def test_native_matches_doubling(self):
         from hmmufotu_tpu.index._native import get_sais
