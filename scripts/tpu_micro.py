@@ -63,37 +63,47 @@ def main():
     jax.block_until_ready(score)
     alns = aligner.finalize_batch(handle)
 
-    # ---- DP kernel alone -------------------------------------------------
-    from hmmufotu_tpu.hmm.pallas_viterbi import viterbi_pallas_traced
+    # ---- DP kernel alone (banded split path) -----------------------------
+    from hmmufotu_tpu.hmm.pallas_viterbi import (
+        viterbi_pallas_traced, viterbi_pallas_traced_split)
     dh = aligner.dh
     print(f"DP inputs: B={codes.shape[0]} n_rows={n_rows} K={hmm.K}",
           file=sys.stderr)
 
-    def run_dp():
-        s, comb = viterbi_pallas_traced(dh, codes, lengths, regions,
-                                        n_rows)
+    def run_dp_split():
+        s, comb = viterbi_pallas_traced_split(dh, codes, lengths,
+                                              regions, n_rows)
         jax.block_until_ready((s, comb))
 
-    run_dp()
-    t_dp = timed(run_dp)
-    print(f"dp_kernel_s {t_dp:.4f}", flush=True)
+    run_dp_split()
+    t_dp = timed(run_dp_split)
+    print(f"dp_split_kernel_s {t_dp:.4f}", flush=True)
 
-    # download alone (comb is [B, 8+TPS] int32)
-    s, comb = viterbi_pallas_traced(dh, codes, lengths, regions, n_rows)
-    jax.block_until_ready((s, comb))
-    t_dl = timed(lambda: (np.asarray(s), np.asarray(comb)))
-    print(f"dp_download_s {t_dl:.4f} comb_shape {tuple(comb.shape)}",
-          flush=True)
+    def run_dp_full():
+        s, comb = viterbi_pallas_traced(
+            dh, jnp.asarray(codes), jnp.asarray(lengths),
+            jnp.asarray(regions), n_rows)
+        jax.block_until_ready((s, comb))
 
-    # ---- placement at several windows ------------------------------------
-    for W in (512, 384, 256):
-        placer = DevicePlacer(tree, window=W)
+    import jax.numpy as jnp
+    run_dp_full()
+    t_dpf = timed(run_dp_full)
+    print(f"dp_full_kernel_s {t_dpf:.4f}", flush=True)
+
+    # fresh download each time (a jax.Array caches its host copy, so
+    # re-fetching the same array measures nothing)
+    def run_dp_dl():
+        s, comb = viterbi_pallas_traced_split(dh, codes, lengths,
+                                              regions, n_rows)
+        np.asarray(comb)
+
+    t_dl = timed(run_dp_dl) - t_dp
+    print(f"dp_download_s {max(t_dl, 0.0):.4f}", flush=True)
+
+    # ---- placement: full optimize vs estimate-only-ish (opt_k=1) --------
+    for opt_k in (None, 1):
+        placer = DevicePlacer(tree, window=512, opt_k=opt_k)
         seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
-        if W == 512:
-            spans = (ends - starts + 1)[valid]
-            print(f"aln spans: med={np.median(spans):.0f} "
-                  f"p99={np.percentile(spans, 99):.0f} "
-                  f"max={spans.max()}", file=sys.stderr)
 
         def run_place():
             placer.place_batch_win(seqs, starts, ends,
@@ -101,7 +111,7 @@ def main():
 
         run_place()
         t = timed(run_place)
-        print(f"place_W{W}_s {t:.4f}", flush=True)
+        print(f"place_optk{opt_k}_s {t:.4f}", flush=True)
 
 
 if __name__ == "__main__":
