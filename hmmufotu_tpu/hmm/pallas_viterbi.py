@@ -23,6 +23,7 @@ at ulp-level cost ties from float summation order in the D chain).
 
 from __future__ import annotations
 
+import os
 from functools import partial
 
 import jax
@@ -49,7 +50,8 @@ PAD_WORD = 0x55555555                # 8 pad nibbles per int32
 def _viterbi_kernel(codes_s, scal_s, jb_s, meta_ref, tc_ref, em_ref,
                     *refs, n_rows: int, K: int, KP: int, nw: int,
                     max_steps: int, traced: bool = False,
-                    banded: bool = False):
+                    banded: bool = False,
+                    n_regions: int = MAX_REGIONS):
     """One program = READS_PER_PROGRAM reads, full row loop.
 
     codes_s: scalar-prefetch [B * nw] int32 — per read, nw words of
@@ -159,7 +161,7 @@ def _viterbi_kernel(codes_s, scal_s, jb_s, meta_ref, tc_ref, em_ref,
     # [R, KP]); per row each region costs two wide compares + ors
     # instead of the previous per-lane rectangle/diagonal masks.
     reg_pre = []
-    for reg in range(MAX_REGIONS):
+    for reg in range(n_regions):
         base = 8 + reg * REGION_WIDTH
         j_lo = meta_ref[:, base + 0:base + 1]
         j_hi = meta_ref[:, base + 1:base + 2]
@@ -401,10 +403,12 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
     return score, min_i, min_j, packed
 
 
-@partial(jax.jit, static_argnames=("n_rows", "interpret", "KB"))
+@partial(jax.jit,
+         static_argnames=("n_rows", "interpret", "KB", "n_regions"))
 def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
                           n_rows: int, interpret: bool = False,
-                          j_base=None, KB: int | None = None):
+                          j_base=None, KB: int | None = None,
+                          n_regions: int = MAX_REGIONS):
     """Pallas Viterbi + in-kernel traceback.
 
     Returns (score [B], comb [B, 8+TPS] int32): comb cols 0:8 are the
@@ -423,13 +427,24 @@ def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
     """
     score, _, _, _, emits, sb = _viterbi_pallas_full(
         dh, codes, lengths, regions, n_rows, interpret, traced=True,
-        j_base=j_base, KB=KB)
+        j_base=j_base, KB=KB, n_regions=n_regions)
     comb = jnp.concatenate(
         [jax.lax.bitcast_convert_type(sb, jnp.int32), emits], axis=1)
     return score, comb
 
 
 DEFAULT_BAND_LANES = 384
+
+
+def _region_bucket(reg_used: np.ndarray) -> int:
+    """Static region-slot count for a batch: the mask loop cost is
+    per-slot per-row, and seeded reads use 3 of the MAX_REGIONS slots
+    (2 per extra seed chain); bucket to {3, MAX_REGIONS} so batches
+    reuse one compiled shape."""
+    if not reg_used.size:
+        return MAX_REGIONS
+    hi = int(np.max(np.where(reg_used, np.arange(reg_used.shape[1])[None, :], -1))) + 1
+    return 3 if hi <= 3 else MAX_REGIONS
 
 
 def viterbi_pallas_traced_split(dh: DeviceHMM, codes, lengths, regions,
@@ -457,12 +472,13 @@ def viterbi_pallas_traced_split(dh: DeviceHMM, codes, lengths, regions,
     codes_j = jnp.asarray(codes)
     lengths_j = jnp.asarray(lengths)
     regions_j = jnp.asarray(regions)
+    reg = np.asarray(regions)
+    used = reg[:, :, 1] > 0
     if KB >= KPF:
         # band window would not be narrower than the full profile
         return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
-                                     n_rows, interpret)
-    reg = np.asarray(regions)
-    used = reg[:, :, 1] > 0
+                                     n_rows, interpret,
+                                     n_regions=_region_bucket(used))
     jlo = np.where(used, np.maximum(reg[:, :, 0], 1),
                    np.int64(1) << 40).min(axis=1)
     jhi = np.where(used, np.minimum(reg[:, :, 1], K), 0).max(axis=1)
@@ -473,15 +489,17 @@ def viterbi_pallas_traced_split(dh: DeviceHMM, codes, lengths, regions,
     jb[wide] = 0                           # narrow rows are discarded
     jb = jnp.asarray(jb.astype(np.int32))
     n_wide = int(wide.sum())
+    nr_all = _region_bucket(used)
     if n_wide == 0:
         return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
                                      n_rows, interpret, j_base=jb,
-                                     KB=KB)
+                                     KB=KB, n_regions=nr_all)
     B = reg.shape[0]
     if 2 * n_wide >= B:
         # mostly wide: the split overhead isn't worth it
         return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
-                                     n_rows, interpret)
+                                     n_rows, interpret,
+                                     n_regions=nr_all)
     # pad the wide row set to a power-of-two bucket (>= wide_floor) so
     # batch-to-batch variation reuses one compiled shape
     Bw = max(wide_floor, 1 << (n_wide - 1).bit_length())
@@ -490,24 +508,28 @@ def viterbi_pallas_traced_split(dh: DeviceHMM, codes, lengths, regions,
     widx[:n_wide] = np.nonzero(wide)[0]
     wvalid = np.zeros(Bw, bool)
     wvalid[:n_wide] = True
+    nr_w = _region_bucket(used[widx[:n_wide]])
     return _viterbi_split_jit(dh, codes_j, lengths_j, regions_j, jb,
                               jnp.asarray(widx), jnp.asarray(wvalid),
-                              n_rows, KB, interpret)
+                              n_rows, KB, interpret, nr_all, nr_w)
 
 
-@partial(jax.jit, static_argnames=("n_rows", "KB", "interpret"))
+@partial(jax.jit, static_argnames=("n_rows", "KB", "interpret",
+                                   "nr_n", "nr_w"))
 def _viterbi_split_jit(dh: DeviceHMM, codes, lengths, regions, jb,
                        widx, wvalid, n_rows: int, KB: int,
-                       interpret: bool = False):
+                       interpret: bool = False,
+                       nr_n: int = MAX_REGIONS,
+                       nr_w: int = MAX_REGIONS):
     """Narrow band launch over the whole batch + full-width launch
     over the gathered wide rows, scattered back — one jit, one
     downloadable (score, comb) pair."""
     score_n, comb_n = viterbi_pallas_traced(
         dh, codes, lengths, regions, n_rows, interpret, j_base=jb,
-        KB=KB)
+        KB=KB, n_regions=nr_n)
     score_w, comb_w = viterbi_pallas_traced(
         dh, codes[widx], lengths[widx], regions[widx], n_rows,
-        interpret)
+        interpret, n_regions=nr_w)
     Tn, Tw = comb_n.shape[1], comb_w.shape[1]
     if Tw > Tn:
         comb_n = jnp.concatenate(
@@ -526,7 +548,8 @@ def _viterbi_split_jit(dh: DeviceHMM, codes, lengths, regions, jb,
 def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
                          n_rows: int, interpret: bool = False,
                          traced: bool = False,
-                         j_base=None, KB: int | None = None):
+                         j_base=None, KB: int | None = None,
+                         n_regions: int = MAX_REGIONS):
     B0 = codes.shape[0]
     K = dh.K
     KPF = _round_up(K + 2, 128)      # full padded profile width
@@ -595,6 +618,11 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
     # states, 8 per int32 word, lane dim padded to 128 words; in band
     # mode j can only travel the KP-lane window
     max_steps = _round_up(n_rows + min(K, KP if banded else K) + 2, 8)
+    if os.environ.get("HMMUFOTU_TRACE_STEPS"):
+        # measurement-only: cap the in-kernel traceback trip count to
+        # attribute kernel time between the DP row loop and the walk
+        # (emits become garbage — never use outside profiling)
+        max_steps = int(os.environ["HMMUFOTU_TRACE_STEPS"])
     TPS = _round_up(max_steps // 8, 128)
     max_steps = TPS * 8
 
@@ -626,7 +654,7 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         best, emits = pl.pallas_call(
             partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
                     nw=nw, max_steps=max_steps, traced=True,
-                    banded=banded),
+                    banded=banded, n_regions=n_regions),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((B, 128), jnp.float32),
@@ -649,7 +677,8 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         )
         packed, best, emits = pl.pallas_call(
             partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
-                    nw=nw, max_steps=max_steps, banded=banded),
+                    nw=nw, max_steps=max_steps, banded=banded,
+                    n_regions=n_regions),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((G, B, KP), jnp.int32),
