@@ -35,7 +35,11 @@ from jax.experimental.pallas import tpu as pltpu
 from .viterbi import DeviceHMM, MAX_REGIONS, REGION_WIDTH
 
 INF = jnp.inf
-READS_PER_PROGRAM = 8
+# reads per kernel program.  Mosaic ops on small [R, lanes] tiles pay
+# a near-fixed per-op cost (measured ~21 cycles/op at both 384 and
+# 1408 lanes), so more reads per program amortizes the row loop's op
+# count across more work; 16 halves the per-read overhead vs 8.
+READS_PER_PROGRAM = int(os.environ.get("HMMUFOTU_DP_RPP", "16"))
 PACK_ROWS = 8   # DP rows packed per int32 choice plane
 
 
@@ -47,21 +51,20 @@ PAD_NIBBLE = 5                       # traceback pad state
 PAD_WORD = 0x55555555                # 8 pad nibbles per int32
 
 
-def _viterbi_kernel(codes_s, scal_s, jb_s, meta_ref, tc_ref, em_ref,
-                    *refs, n_rows: int, K: int, KP: int, nw: int,
+def _viterbi_kernel(scal_s, jb_s, codes_ref, meta_ref, tc_ref, em_ref,
+                    *refs, n_rows: int, K: int, KP: int,
                     max_steps: int, traced: bool = False,
                     banded: bool = False,
                     n_regions: int = MAX_REGIONS):
     """One program = READS_PER_PROGRAM reads, full row loop.
 
-    codes_s: scalar-prefetch [B * nw] int32 — per read, nw words of
-             16 two-bit-packed bases (flattened 1-D: SMEM pads every
-             row of a 2-D scalar array to ~512 B, which overflows the
-             1 MB SMEM budget at B = 2048)
     scal_s:  scalar-prefetch [8] f32 special costs
              (t_NN, t_NB, t_CC, t_EC, Tmat_cost[K](I,M))
     jb_s:    scalar-prefetch [B] int32 per-read band origin (absolute
              profile position of lane 0; all-zero unless `banded`)
+    codes_ref [R, NRP] int32 read bases 0..3 (row-padded to 128 lanes)
+              — per row the base column is extracted with ONE wide
+              mask+reduce instead of R scalar SMEM loads
     meta_ref [R, 128] int32: col 0 = read length, cols 8.. = regions
     tc_ref [16, KPF] f32 packed transition costs, em_ref [8, KPF] f32
            (always FULL profile width)
@@ -193,17 +196,17 @@ def _viterbi_kernel(codes_s, scal_s, jb_s, meta_ref, tc_ref, em_ref,
             entry_ok = entry_ok | (cov & ent1)
         return allowed, entry_ok
 
+    NRP = codes_ref.shape[1]
+    code_iota = jax.lax.broadcasted_iota(jnp.int32, (R, NRP), 1)
+
     def body(i, carry):
         Mp, Ip, Dp, best, best_i, best_j, packbuf = carry
-        # per-read emission rows selected by base; codes are packed
-        # 16 bases per int32 word in SMEM (2 bits each) to stay under
-        # the 1MB SMEM cap at large batch sizes.  Broadcast-select of
-        # the 4 emission rows beats 16 dynamic sublane slices + concats
-        word_i = (i - 1) >> 4
-        shift_i = 2 * ((i - 1) & 15)
-        b_vec = jnp.stack(
-            [(codes_s[(prog * R + r) * nw + word_i] >> shift_i) & 3
-             for r in range(R)]).reshape(R, 1)      # [R, 1] int32
+        # per-read base of row i via one wide mask+reduce over the
+        # VMEM codes tile; broadcast-select of the 4 emission rows
+        # then beats 16 dynamic sublane slices + concats
+        b_vec = jnp.sum(jnp.where(code_iota == i - 1,
+                                  codes_ref[:, :], 0),
+                        axis=1, keepdims=True)      # [R, 1] int32
         em = EM_pl[0] + jnp.zeros((R, KP), jnp.float32)
         ei = EI_pl[0] + jnp.zeros((R, KP), jnp.float32)
         for b in range(1, 4):
@@ -605,14 +608,11 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
     meta = meta.at[:, 0].set(lengths.astype(jnp.int32))
     meta = meta.at[:, 8:8 + MAX_REGIONS * REGION_WIDTH].set(
         regions.reshape(B, -1).astype(jnp.int32))
-    # pack bases 2-bit x 16 per int32 word (SMEM budget)
-    nw = _round_up(n_rows, 16) // 16
-    cpad = jnp.zeros((B, nw * 16), jnp.int32)
-    cpad = cpad.at[:, :n_rows].set(
+    # read bases as a VMEM tile, lane-padded to 128
+    NRP = _round_up(n_rows, 128)
+    codes_i = jnp.zeros((B, NRP), jnp.int32)
+    codes_i = codes_i.at[:, :n_rows].set(
         jnp.clip(codes.astype(jnp.int32), 0, 3))
-    shifts = (2 * (jnp.arange(16, dtype=jnp.int32)))[None, None, :]
-    codes_i = (cpad.reshape(B, nw, 16) << shifts).sum(axis=2) \
-        .astype(jnp.int32).reshape(B * nw)
 
     # traceback emit buffer: path length <= n_rows + (j travel) + 2
     # states, 8 per int32 word, lane dim padded to 128 words; in band
@@ -629,23 +629,25 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
     jb_arr = j_base.astype(jnp.int32)
 
     in_specs = [
-        pl.BlockSpec((R, 128), lambda p, cs, ss, jbs: (p, 0),
+        pl.BlockSpec((R, NRP), lambda p, ss, jbs: (p, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((16, KPF), lambda p, cs, ss, jbs: (0, 0),
+        pl.BlockSpec((R, 128), lambda p, ss, jbs: (p, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((8, KPF), lambda p, cs, ss, jbs: (0, 0),
+        pl.BlockSpec((16, KPF), lambda p, ss, jbs: (0, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((8, KPF), lambda p, ss, jbs: (0, 0),
                      memory_space=pltpu.VMEM),
     ]
-    best_spec = pl.BlockSpec((R, 128), lambda p, cs, ss, jbs: (p, 0),
+    best_spec = pl.BlockSpec((R, 128), lambda p, ss, jbs: (p, 0),
                              memory_space=pltpu.VMEM)
-    emits_spec = pl.BlockSpec((R, TPS), lambda p, cs, ss, jbs: (p, 0),
+    emits_spec = pl.BlockSpec((R, TPS), lambda p, ss, jbs: (p, 0),
                               memory_space=pltpu.VMEM)
     G = n_rows // PACK_ROWS
     if traced:
         # choice planes = per-program VMEM scratch (never written to
         # HBM; only the packed state strings + bounds leave the chip)
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(B // R,),
             in_specs=in_specs,
             out_specs=[best_spec, emits_spec],
@@ -653,7 +655,7 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         )
         best, emits = pl.pallas_call(
             partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
-                    nw=nw, max_steps=max_steps, traced=True,
+                    max_steps=max_steps, traced=True,
                     banded=banded, n_regions=n_regions),
             grid_spec=grid_spec,
             out_shape=[
@@ -661,23 +663,23 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
                 jax.ShapeDtypeStruct((B, TPS), jnp.int32),
             ],
             interpret=interpret,
-        )(codes_i, scal, jb_arr, meta, tc, em)
+        )(scal, jb_arr, codes_i, meta, tc, em)
         packed = None
     else:
         grid_spec = pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=3,
+            num_scalar_prefetch=2,
             grid=(B // R,),
             in_specs=in_specs,
             out_specs=[
                 pl.BlockSpec((G, R, KP),
-                             lambda p, cs, ss, jbs: (0, p, 0),
+                             lambda p, ss, jbs: (0, p, 0),
                              memory_space=pltpu.VMEM),
                 best_spec, emits_spec,
             ],
         )
         packed, best, emits = pl.pallas_call(
             partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
-                    nw=nw, max_steps=max_steps, banded=banded,
+                    max_steps=max_steps, banded=banded,
                     n_regions=n_regions),
             grid_spec=grid_spec,
             out_shape=[
@@ -686,7 +688,7 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
                 jax.ShapeDtypeStruct((B, TPS), jnp.int32),
             ],
             interpret=interpret,
-        )(codes_i, scal, jb_arr, meta, tc, em)
+        )(scal, jb_arr, codes_i, meta, tc, em)
         packed = packed[:, :B0]
     best = best[:B0]
     emits = emits[:B0]
