@@ -35,11 +35,12 @@ from jax.experimental.pallas import tpu as pltpu
 from .viterbi import DeviceHMM, MAX_REGIONS, REGION_WIDTH
 
 INF = jnp.inf
-# reads per kernel program.  Mosaic ops on small [R, lanes] tiles pay
-# a near-fixed per-op cost (measured ~21 cycles/op at both 384 and
-# 1408 lanes), so more reads per program amortizes the row loop's op
-# count across more work; 16 halves the per-read overhead vs 8.
-READS_PER_PROGRAM = int(os.environ.get("HMMUFOTU_DP_RPP", "16"))
+# reads per kernel program.  Mosaic ops on [8, lanes] tiles cost the
+# same at 384 and 1408 lanes (lane width is effectively free), but
+# R=16 measured 16% SLOWER end-to-end than R=8 — the native vreg is
+# (8, 128) sublanes x lanes, so doubling R doubles the vreg count per
+# op while also lengthening the shared traceback walk.  8 it is.
+READS_PER_PROGRAM = int(os.environ.get("HMMUFOTU_DP_RPP", "8"))
 PACK_ROWS = 8   # DP rows packed per int32 choice plane
 
 

@@ -52,18 +52,10 @@ def _round_up(x: int, m: int) -> int:
     return (x + m - 1) // m * m
 
 
-def _sep_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
-                out_ref, *, n_rates: int):
-    R = LANES_PER_PROGRAM
-    mask = mask_ref[:, :] > 0.5
-    w0 = scal_ref[:, 0:1]
-    wur0 = scal_ref[:, 1:2]
-    wnr0 = scal_ref[:, 2:3]
-    skip0 = scal_ref[:, 3:4] > 0.5
-
-    Um = [U_ref[k] for k in range(4)]
-    Vm = [V_ref[k] for k in range(4)]
-    Nm = [N_ref[k] for k in range(4)]
+def _model_ops(model_s):
+    """Shared spectral-model helpers closed over the staged scalars
+    (layout in N_MODEL_SCALARS above); used by both the optimize and
+    the estimate kernels."""
 
     def finite_guard(m):
         return jnp.where((m > -INF) & (m < INF), m, 0.0)
@@ -93,6 +85,34 @@ def _sep_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
             out.append(jnp.log(acc) + scale)
         return out
 
+    def dot_vec(msg):
+        """log(pi . exp(msg)) per column (placement._dot_scaled_vec:
+        scale from the raw message max, exactly as the XLA path)."""
+        scale = finite_guard(max4(msg))
+        s = None
+        for k in range(4):
+            v = jnp.exp(model_s[36 + k] + msg[k] - scale)
+            s = v if s is None else s + v
+        return jnp.log(s) + scale
+
+    return finite_guard, max4, conv_one, dot_vec
+
+
+def _sep_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
+                out_ref, *, n_rates: int):
+    R = LANES_PER_PROGRAM
+    mask = mask_ref[:, :] > 0.5
+    w0 = scal_ref[:, 0:1]
+    wur0 = scal_ref[:, 1:2]
+    wnr0 = scal_ref[:, 2:3]
+    skip0 = scal_ref[:, 3:4] > 0.5
+
+    Um = [U_ref[k] for k in range(4)]
+    Vm = [V_ref[k] for k in range(4)]
+    Nm = [N_ref[k] for k in range(4)]
+
+    finite_guard, max4, conv_one, _dot_vec_shared = _model_ops(model_s)
+
     def conv_mix(pairs):
         """Rate-mixed summed convolution (placement._conv_mix)."""
         outs = []
@@ -119,15 +139,7 @@ def _sep_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
             res.append(jnp.log(s / float(n_rates)) + scale)
         return res
 
-    def dot_vec(msg):
-        """log(pi . exp(msg)) per column (placement._dot_scaled_vec:
-        scale from the raw message max, exactly as the XLA path)."""
-        scale = finite_guard(max4(msg))
-        s = None
-        for k in range(4):
-            v = jnp.exp(model_s[36 + k] + msg[k] - scale)
-            s = v if s is None else s + v
-        return jnp.log(s) + scale
+    dot_vec = _dot_vec_shared
 
     def fp(Rm, Xm, w_cur, max_len, skip):
         """Single-branch Felsenstein fixed point on this lane block
@@ -279,3 +291,112 @@ def sep_optimize_pallas(U, V, Nl, site_ok, w0, wur0, wnr0, live,
         return out[:M, i].reshape(B, C)
 
     return col(0), col(1), col(2), col(3)
+
+
+def _est_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
+                out_ref):
+    """Closed-form placement estimate for a block of candidate lanes
+    (reference estimateSeq, PhyloTreeUnrooted.cpp:861-871 + the
+    unweighted initial pendant estimate cpp:1018-1031) — the same math
+    as the XLA block in placement.place_batch_device, fused so the
+    [B, C, 4, W]-shaped exp/log chains never materialize in HBM.
+
+    scal_ref cols: 0 = wur0, 1 = wvr0.
+    out cols: 0 = est_loglik, 1 = wnr0.
+    """
+    R = LANES_PER_PROGRAM
+    mask = mask_ref[:, :] > 0.5
+    wur0 = scal_ref[:, 0:1]
+    wvr0 = scal_ref[:, 1:2]
+    _, _, conv_one, dot_vec = _model_ops(model_s)
+
+    Um = [U_ref[k] for k in range(4)]
+    Vm = [V_ref[k] for k in range(4)]
+    Nm = [N_ref[k] for k in range(4)]
+
+    UPr = conv_one(Um, wur0)
+    VPr = conv_one(Vm, wvr0)
+    R0 = [UPr[k] + VPr[k] for k in range(4)]
+
+    def argmax4(planes):
+        # first-index max, matching jnp.argmax tie-breaking
+        best = planes[0]
+        idx = jnp.zeros_like(best, dtype=jnp.int32)
+        for k in range(1, 4):
+            upd = planes[k] > best
+            idx = jnp.where(upd, k, idx)
+            best = jnp.maximum(best, planes[k])
+        return idx
+
+    b1 = argmax4(R0)
+    b2 = argmax4(Nm)
+    nsites = jnp.maximum(
+        jnp.sum(jnp.where(mask, 1.0, 0.0), axis=1, keepdims=True), 1.0)
+    wnr0 = jnp.sum(jnp.where(mask & (b1 != b2), 1.0, 0.0),
+                   axis=1, keepdims=True) / nsites
+
+    NPr = conv_one(Nm, wnr0)
+    cols = dot_vec([R0[k] + NPr[k] for k in range(4)])
+    est = jnp.sum(jnp.where(mask, cols, 0.0), axis=1, keepdims=True)
+    out_ref[:, :] = jnp.concatenate(
+        [est, wnr0, jnp.zeros((R, 126), jnp.float32)], axis=1)
+
+
+def est_pallas(U, V, Nl, site_ok, wur0, wvr0, Um, U_1, lam, log_pi,
+               interpret: bool = False):
+    """Fused estimate over a [B, C] candidate grid.
+
+    U/V/Nl [B, C, 4, W] f32 message windows; site_ok [B, C, W];
+    wur0/wvr0 [B, C].  Returns (est_loglik [B, C], wnr0 [B, C]) —
+    the same values as the XLA estimate block up to f32 reduce order.
+    """
+    B, C, _, W = U.shape
+    M = B * C
+    R = LANES_PER_PROGRAM
+    Mp = _round_up(max(M, R), R)
+    Wp = _round_up(W, 128)
+    f32 = jnp.float32
+
+    def pad_msg(X):
+        Xt = jnp.transpose(X.reshape(M, 4, W), (1, 0, 2))
+        out = jnp.zeros((4, Mp, Wp), f32)
+        return out.at[:, :M, :W].set(Xt.astype(f32))
+
+    Up, Vp, Np = pad_msg(U), pad_msg(V), pad_msg(Nl)
+    maskp = jnp.zeros((Mp, Wp), f32).at[:M, :W].set(
+        site_ok.reshape(M, W).astype(f32))
+    scal = jnp.zeros((Mp, 128), f32)
+    scal = scal.at[:M, 0].set(wur0.reshape(-1).astype(f32))
+    scal = scal.at[:M, 1].set(wvr0.reshape(-1).astype(f32))
+
+    model_s = jnp.zeros((N_MODEL_SCALARS,), f32)
+    model_s = model_s.at[0:16].set(jnp.asarray(Um, f32).reshape(-1))
+    model_s = model_s.at[16:32].set(jnp.asarray(U_1, f32).reshape(-1))
+    model_s = model_s.at[32:36].set(jnp.asarray(lam, f32))
+    model_s = model_s.at[36:40].set(jnp.asarray(log_pi, f32))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(Mp // R,),
+        in_specs=[
+            pl.BlockSpec((R, 128), lambda p, ms: (p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, R, Wp), lambda p, ms: (0, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, R, Wp), lambda p, ms: (0, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((4, R, Wp), lambda p, ms: (0, p, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((R, Wp), lambda p, ms: (p, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((R, 128), lambda p, ms: (p, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    out = pl.pallas_call(
+        _est_kernel,
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((Mp, 128), f32),
+        interpret=interpret,
+    )(model_s, scal, Up, Vp, Np, maskp)
+    return out[:M, 0].reshape(B, C), out[:M, 1].reshape(B, C)

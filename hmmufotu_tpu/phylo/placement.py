@@ -397,17 +397,26 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     ratio0 = jnp.where(jnp.isnan(ratio0), 0.5, ratio0)
     wur0 = w0 * ratio0
     wvr0 = w0 - wur0
-    UPr = _dot_scaled(Pr_fn(wur0), U)
-    VPr = _dot_scaled(Pr_fn(wvr0), V)
-    R0 = UPr + VPr
-    # unweighted initial pendant estimate (cpp:1018-1031)
-    b1 = R0.argmax(axis=-2)
-    b2 = Nl.argmax(axis=-2)
-    wnr0 = jnp.where(site_ok_c, (b1 != b2), 0).sum(-1) \
-        / jnp.maximum(site_ok_c.sum(-1), 1)
-    NPr = _dot_scaled(Pr_fn(wnr0), Nl)
-    est_cols = _dot_scaled_vec(dt.log_pi, R0 + NPr)     # [B, C, W]
-    est_loglik = jnp.where(site_ok_c, est_cols, 0.0).sum(-1)
+    if sep_pallas:
+        # fused estimate kernel: the [B, C, 4, W] exp/log chains stay
+        # in VMEM (the XLA form materializes ~20 full-size temps
+        # between fusion breaks at the scale reductions)
+        from .pallas_place import est_pallas
+        est_loglik, wnr0 = est_pallas(
+            U, V, Nl, site_ok_c, wur0, wvr0, eig[0], eig[1], eig[2],
+            dt.log_pi, interpret=jax.default_backend() != "tpu")
+    else:
+        UPr = _dot_scaled(Pr_fn(wur0), U)
+        VPr = _dot_scaled(Pr_fn(wvr0), V)
+        R0 = UPr + VPr
+        # unweighted initial pendant estimate (cpp:1018-1031)
+        b1 = R0.argmax(axis=-2)
+        b2 = Nl.argmax(axis=-2)
+        wnr0 = jnp.where(site_ok_c, (b1 != b2), 0).sum(-1) \
+            / jnp.maximum(site_ok_c.sum(-1), 1)
+        NPr = _dot_scaled(Pr_fn(wnr0), Nl)
+        est_cols = _dot_scaled_vec(dt.log_pi, R0 + NPr)  # [B, C, W]
+        est_loglik = jnp.where(site_ok_c, est_cols, 0.0).sum(-1)
     est_loglik = jnp.where(cand_ok, est_loglik, -INF)
 
     # ---- filter (filterPlacements, HmmUFOtu_main.cpp:162-173) -----------
