@@ -33,7 +33,8 @@ ALN_TSV_HEADER = ("seq_start\tseq_end\thmm_start\thmm_end\tCS_start\t"
                   "CS_end\tcost\talignment")   # BandedHMMP7.cpp:51
 CHIMERA_TSV_HEADER = ("seg5_taxon_id\tseg3_taxon_id\tseg5_taxon_anno\t"
                       "seg3_taxon_anno\tchimera_lod")  # hmmufotu.cpp:57
-DEFAULT_BATCH = 64
+DEFAULT_BATCH = 64          # CPU/interpret default; TPU resolves below
+DEFAULT_BATCH_TPU = 2048    # measured throughput knee on v5e (BASELINE.md)
 STRAND_CONFIDENCE = 0.9     # hmmufotu.cpp:41
 MIN_STRAND_TEST = 10
 
@@ -85,7 +86,11 @@ def build_parser() -> argparse.ArgumentParser:
                         "opt-k best candidates by estimated loglik "
                         "(0 = all surviving candidates, "
                         "reference-faithful)")
-    p.add_argument("-b", "--batch", type=int, default=DEFAULT_BATCH)
+    p.add_argument("-b", "--batch", type=int, default=0,
+                   help="reads per device batch (0 = auto: "
+                        f"{DEFAULT_BATCH_TPU} on TPU, {DEFAULT_BATCH} "
+                        "elsewhere; larger batches amortize the "
+                        "per-batch dispatch/transfer latency)")
     p.add_argument("--resume", action="store_true",
                    help="append to an existing output, skipping reads "
                         "already assigned (restartable batches)")
@@ -211,6 +216,12 @@ def main(argv=None) -> int:
             if getattr(args, attr):
                 setattr(args, attr,
                         getattr(args, attr) + f".p{args.process_id}")
+
+    if not args.batch:
+        import jax
+        args.batch = (DEFAULT_BATCH_TPU
+                      if jax.default_backend() == "tpu"
+                      else DEFAULT_BATCH)
 
     db = Database.load(args.db)
     tree, hmm, csfm = db.ptu, db.hmm, db.csfm
