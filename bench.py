@@ -133,11 +133,11 @@ def main():
         import jax
         jax.profiler.start_trace(profile_dir)
 
-    # best of two timed passes: the remote device tunnel adds
+    # best of three timed passes: the remote device tunnel adds
     # +-15-25% run-to-run interference that has nothing to do with
     # the framework under test
     rps = 0.0
-    for _ in range(1 if verbose else 2):
+    for _ in range(1 if verbose else 3):
         t0 = time.time()
         n_done = 0
         if verbose:

@@ -277,7 +277,7 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len,
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
                                    "L", "height_prior", "ml_only",
                                    "fp_pallas", "sep_pallas", "opt_k",
-                                   "Ws"))
+                                   "Ws", "est_kernel"))
 def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
@@ -287,7 +287,8 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        fp_pallas: bool = False,
                        sep_pallas: bool = False,
                        eig=None, node_lo=None, opt_k: int | None = None,
-                       s0=None, Ws: int | None = None):
+                       s0=None, Ws: int | None = None,
+                       est_kernel: bool = True):
     """Full SEP placement of a read batch.
 
     seq_win: [B, W] int8 aligned digital reads, pre-sliced to the
@@ -397,7 +398,7 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     ratio0 = jnp.where(jnp.isnan(ratio0), 0.5, ratio0)
     wur0 = w0 * ratio0
     wvr0 = w0 - wur0
-    if sep_pallas:
+    if sep_pallas and est_kernel:
         # fused estimate kernel: the [B, C, 4, W] exp/log chains stay
         # in VMEM (the XLA form materializes ~20 full-size temps
         # between fusion breaks at the scale reductions)
@@ -602,11 +603,13 @@ class DevicePlacer:
                  max_nseed: int = 50, dtype=jnp.float32,
                  msg_dtype=None, fp_pallas: bool | None = None,
                  sep_pallas: bool | None = None,
-                 opt_k: int | None = None):
+                 opt_k: int | None = None,
+                 est_kernel: bool = True):
         self.tree = tree
         self.W = min(window, tree.cs_len)
         self.C = max_nseed
         self.opt_k = opt_k          # None = optimize all live (faithful)
+        self.est_kernel = est_kernel
         # single-kernel Pallas optimization loops on real TPUs; the
         # XLA while_loop everywhere else (interpret mode is slow).
         # sep_pallas fuses the WHOLE 3-branch optimization (subsuming
@@ -667,7 +670,8 @@ class DevicePlacer:
             self.pr_fn, max_diff, max_height, max_error, self.W, self.C,
             self.n_rates, self.tree.cs_len, height_prior, ml_only,
             self.fp_pallas, self.sep_pallas, self.eig,
-            opt_k=self.opt_k, s0=jnp.asarray(s0, jnp.int32), Ws=Ws)
+            opt_k=self.opt_k, s0=jnp.asarray(s0, jnp.int32), Ws=Ws,
+            est_kernel=self.est_kernel)
 
     def union_window(self, starts) -> tuple[int, int]:
         """(s0, Ws) covering every read's site window in the batch.

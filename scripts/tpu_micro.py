@@ -100,9 +100,9 @@ def main():
     t_dl = timed(run_dp_dl) - t_dp
     print(f"dp_download_s {max(t_dl, 0.0):.4f}", flush=True)
 
-    # ---- placement: full optimize vs estimate-only-ish (opt_k=1) --------
-    for opt_k in (None, 1):
-        placer = DevicePlacer(tree, window=512, opt_k=opt_k)
+    # ---- placement: estimate kernel vs XLA estimate ----------------------
+    for est in (True, False):
+        placer = DevicePlacer(tree, window=512, est_kernel=est)
         seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
 
         def run_place():
@@ -111,7 +111,7 @@ def main():
 
         run_place()
         t = timed(run_place)
-        print(f"place_optk{opt_k}_s {t:.4f}", flush=True)
+        print(f"place_estk{int(est)}_s {t:.4f}", flush=True)
 
 
 if __name__ == "__main__":
