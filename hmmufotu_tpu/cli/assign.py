@@ -73,7 +73,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-C", "--chimera", action="store_true",
                    help="enable chimera checking")
     p.add_argument("--num-segment", type=int, default=2)
-    p.add_argument("--chimera-err", type=float, default=math.inf)
+    # the reference initializes maxChimeraError = maxError / numSeg
+    # BEFORE option parsing (hmmufotu.cpp:146-147 vs :225,:251), so its
+    # default is the fixed 20/2 = 10.0 regardless of -e/--num-segment
+    p.add_argument("--chimera-err", type=float,
+                   default=pl.DEFAULT_MAX_PLACE_ERROR / 2)
     p.add_argument("--chimera-lod", type=float, default=0.0)
     p.add_argument("--chimera-out", default="")
     p.add_argument("--single", action="store_true",
@@ -205,8 +209,20 @@ def main(argv=None) -> int:
         if args.process_id is None:
             log.error("--num-processes requires --process-id")
             return 1
+        if not 0 <= args.process_id < args.num_processes:
+            log.error("--process-id must be in [0, %d)",
+                      args.num_processes)
+            return 1
         if args.resume:
             log.error("--resume is not supported with --num-processes")
+            return 1
+        if args.seed is not None:
+            # each process would consume an identical rng over only its
+            # shard, so output would silently differ from the
+            # single-process run (the byte-for-byte gather guarantee)
+            log.error("-S/--seed is not supported with --num-processes;"
+                      " the default (deterministic first-occurrence "
+                      "seed pick) is already reproducible")
             return 1
         # must run before any jax backend use
         from ..parallel.distributed import init_distributed

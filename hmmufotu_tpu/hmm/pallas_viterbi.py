@@ -41,6 +41,11 @@ INF = jnp.inf
 # (8, 128) sublanes x lanes, so doubling R doubles the vreg count per
 # op while also lengthening the shared traceback walk.  8 it is.
 READS_PER_PROGRAM = int(os.environ.get("HMMUFOTU_DP_RPP", "8"))
+if READS_PER_PROGRAM <= 0 or READS_PER_PROGRAM % 8:
+    raise ValueError(
+        "HMMUFOTU_DP_RPP must be a positive multiple of 8: the kernel's "
+        "[R, KP] blocks and R-row traceback assume (8, 128) sublane "
+        f"tiling (got {READS_PER_PROGRAM})")
 PACK_ROWS = 8   # DP rows packed per int32 choice plane
 
 

@@ -53,10 +53,14 @@ class DirichletDensity:
 
     def lpdf(self, freq) -> float:
         freq = np.asarray(freq, dtype=np.float64)
-        log_c = (_gammaln(freq.sum() + 1) + _gammaln(self.alpha.sum())
-                 - _gammaln(freq.sum() + self.alpha.sum()))
-        log_s = (_gammaln(freq + self.alpha) - _gammaln(freq + 1)
-                 - _gammaln(self.alpha)).sum()
+        # alpha components may be 0 during ML training (gammaln(0)=inf,
+        # inf-inf=nan); the nan cost is the intended signal (train_ml
+        # aborts on it) — silence only these expected warnings
+        with np.errstate(invalid="ignore", divide="ignore"):
+            log_c = (_gammaln(freq.sum() + 1) + _gammaln(self.alpha.sum())
+                     - _gammaln(freq.sum() + self.alpha.sum()))
+            log_s = (_gammaln(freq + self.alpha) - _gammaln(freq + 1)
+                     - _gammaln(self.alpha)).sum()
         return float(log_c + log_s)
 
     def cost(self, data) -> float:
@@ -83,9 +87,12 @@ class DirichletDensity:
         a_sum = a.sum()
         n_sum = data.sum(axis=0)                   # [M]
         m = data.shape[1]
-        s = (digamma(data + a[:, None])
-             - digamma(n_sum + a_sum)[None, :]).sum(axis=1)
-        return a * (m * (digamma(a_sum) - digamma(a)) + s)
+        # digamma at 0 is -inf; a=0 lanes multiply the (possibly
+        # inf/nan) gradient by 0 below — expected during training
+        with np.errstate(invalid="ignore", divide="ignore"):
+            s = (digamma(data + a[:, None])
+                 - digamma(n_sum + a_sum)[None, :]).sum(axis=1)
+            return a * (m * (digamma(a_sum) - digamma(a)) + s)
 
     def train_ml(self, data, eta: float = DEFAULT_ETA, max_iter: int = 0,
                  abs_eps_cost=0.0, rel_eps_cost=DEFAULT_REL_EPS_COST,
@@ -93,7 +100,8 @@ class DirichletDensity:
                  rel_eps_params=DEFAULT_REL_EPS_PARAMS) -> float:
         data = np.asarray(data, dtype=np.float64)
         self._moment_init(data)
-        w = np.log(self.alpha)
+        with np.errstate(divide="ignore"):   # alpha=0 -> w=-inf lane
+            w = np.log(self.alpha)
         c = self.cost(data)
         it = 0
         while max_iter <= 0 or it < max_iter:

@@ -1,19 +1,29 @@
-"""Micro-timing of the two device hot kernels on the real chip.
+"""Parameterized micro-timing of the device hot kernels on the chip.
 
-Times, separately and with block_until_ready:
-  * the fused banded-Viterbi Pallas kernel (viterbi_pallas_traced)
-    and its combined result download
-  * the full device placement (place_batch_device) at several
-    placement windows W (the SEP kernel's work is proportional to the
-    padded window width)
+One script replaces the round-3 trio (tpu_micro / tpu_micro2 /
+tpu_micro3).  Stages (select with --stage, default runs dp + place):
 
-so BASELINE.md's roofline can attribute the device second between the
-DP and SEP stages, and quantify what a narrower window would buy.
+  dp        — banded-split DP Pallas kernel (viterbi_pallas_traced_split)
+  dp-full   — full-width DP kernel (viterbi_pallas_traced)
+  dp-dl     — DP kernel + fresh combined-result download (delta = link)
+  dp-loop   — N timed iterations with fresh downloads + checksums
+              (guards against cached-host-copy lies)
+  place     — full device placement at --window, est kernel on AND off
+  place-prof— jax.profiler trace of one placement call, per-op device
+              durations parsed from the perfetto JSON
 
-Run on the chip (one TPU process at a time!):
-    python scripts/tpu_micro.py
+Env knobs compose (run them via --env KEY=VAL), e.g. the traceback
+share = dp vs dp with HMMUFOTU_TRACE_STEPS=8.
+
+Run on the chip — ONE TPU process at a time:
+    python scripts/tpu_micro.py --stage dp --stage place
+    python scripts/tpu_micro.py --stage dp --env HMMUFOTU_TRACE_STEPS=8
 """
 
+import argparse
+import glob
+import gzip
+import json
 import os
 import sys
 import time
@@ -25,8 +35,6 @@ sys.path.insert(0, REPO)
 os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                       os.path.join(REPO, ".bench", "jaxcache"))
 
-BATCH = 1024
-
 
 def timed(fn, n=3):
     best = float("inf")
@@ -37,14 +45,12 @@ def timed(fn, n=3):
     return best
 
 
-def main():
+def setup(batch):
     import jax
     from bench import ensure_db, simulate_reads, DB_PREFIX
     from hmmufotu_tpu.db import Database
     from hmmufotu_tpu.hmm import NGCL, ViterbiAligner
     from hmmufotu_tpu import pipeline as pl
-    from hmmufotu_tpu.pipeline import _aln_windows
-    from hmmufotu_tpu.phylo.placement import DevicePlacer
 
     ensure_db()
     db = Database.load(DB_PREFIX)
@@ -53,65 +59,144 @@ def main():
     hmm.wing_retract()
     aligner = ViterbiAligner(hmm)
     rng = np.random.default_rng(0)
-    reads = simulate_reads(tree, rng, BATCH)
-
+    reads = simulate_reads(tree, rng, batch)
     vpaths = pl.batch_find_seed_vpaths(hmm, csfm, reads, mode=NGCL,
                                        rng=rng)
     handle = aligner.dispatch_batch(reads, vpaths)
     (_, _, _, n_rows, codes, lengths, regions, _,
      score, mi, mj, choices) = handle
     jax.block_until_ready(score)
-    alns = aligner.finalize_batch(handle)
+    return aligner, tree, handle, (codes, lengths, regions, n_rows)
 
-    # ---- DP kernel alone (banded split path) -----------------------------
+
+def main(argv=None):
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--stage", action="append", default=[],
+                    choices=["dp", "dp-full", "dp-dl", "dp-loop",
+                             "place", "place-prof"])
+    ap.add_argument("--batch", type=int, default=1024)
+    ap.add_argument("--window", type=int, default=512)
+    ap.add_argument("--iters", type=int, default=6,
+                    help="dp-loop iterations")
+    ap.add_argument("--env", action="append", default=[],
+                    help="KEY=VAL set before jax init")
+    args = ap.parse_args(argv)
+    stages = args.stage or ["dp", "place"]
+    for kv in args.env:
+        k, _, v = kv.partition("=")
+        os.environ[k] = v
+
+    import jax
+    import jax.numpy as jnp
+    from hmmufotu_tpu.pipeline import _aln_windows
+    from hmmufotu_tpu.phylo.placement import DevicePlacer
     from hmmufotu_tpu.hmm.pallas_viterbi import (
         viterbi_pallas_traced, viterbi_pallas_traced_split)
+
+    aligner, tree, handle, dp_in = setup(args.batch)
+    codes, lengths, regions, n_rows = dp_in
     dh = aligner.dh
-    print(f"DP inputs: B={codes.shape[0]} n_rows={n_rows} K={hmm.K}",
-          file=sys.stderr)
+    print(f"inputs: B={codes.shape[0]} n_rows={n_rows} "
+          f"K={aligner.hmm.K}", file=sys.stderr)
 
     def run_dp_split():
         s, comb = viterbi_pallas_traced_split(dh, codes, lengths,
                                               regions, n_rows)
         jax.block_until_ready((s, comb))
 
-    run_dp_split()
-    t_dp = timed(run_dp_split)
-    print(f"dp_split_kernel_s {t_dp:.4f}", flush=True)
+    if "dp" in stages:
+        run_dp_split()
+        print(f"dp_split_kernel_s {timed(run_dp_split):.4f}",
+              flush=True)
 
-    def run_dp_full():
-        s, comb = viterbi_pallas_traced(
-            dh, jnp.asarray(codes), jnp.asarray(lengths),
-            jnp.asarray(regions), n_rows)
-        jax.block_until_ready((s, comb))
+    if "dp-full" in stages:
+        def run_dp_full():
+            s, comb = viterbi_pallas_traced(
+                dh, jnp.asarray(codes), jnp.asarray(lengths),
+                jnp.asarray(regions), n_rows)
+            jax.block_until_ready((s, comb))
+        run_dp_full()
+        print(f"dp_full_kernel_s {timed(run_dp_full):.4f}", flush=True)
 
-    import jax.numpy as jnp
-    run_dp_full()
-    t_dpf = timed(run_dp_full)
-    print(f"dp_full_kernel_s {t_dpf:.4f}", flush=True)
+    if "dp-dl" in stages:
+        run_dp_split()
+        t_dp = timed(run_dp_split)
 
-    # fresh download each time (a jax.Array caches its host copy, so
-    # re-fetching the same array measures nothing)
-    def run_dp_dl():
-        s, comb = viterbi_pallas_traced_split(dh, codes, lengths,
-                                              regions, n_rows)
-        np.asarray(comb)
+        def run_dp_dl():
+            s, comb = viterbi_pallas_traced_split(dh, codes, lengths,
+                                                  regions, n_rows)
+            np.asarray(comb)   # fresh array each call = real transfer
+        print(f"dp_download_s {max(timed(run_dp_dl) - t_dp, 0.0):.4f}",
+              flush=True)
 
-    t_dl = timed(run_dp_dl) - t_dp
-    print(f"dp_download_s {max(t_dl, 0.0):.4f}", flush=True)
+    if "dp-loop" in stages:
+        for it in range(args.iters):
+            t0 = time.time()
+            s, comb = viterbi_pallas_traced_split(
+                dh, codes, lengths, regions, n_rows)
+            jax.block_until_ready((s, comb))
+            t1 = time.time()
+            s_h, comb_h = np.asarray(s), np.asarray(comb)
+            t2 = time.time()
+            print(f"iter{it}: kernel {t1 - t0:.4f}s download "
+                  f"{t2 - t1:.4f}s finite {np.isfinite(s_h).mean():.3f}"
+                  f" comb_sum {int(comb_h.sum()) & 0xFFFFFFFF:08x}",
+                  flush=True)
 
-    # ---- placement: estimate kernel vs XLA estimate ----------------------
-    for est in (True, False):
-        placer = DevicePlacer(tree, window=512, est_kernel=est)
+    if "place" in stages or "place-prof" in stages:
+        alns = aligner.finalize_batch(handle)
+
+    if "place" in stages:
+        for est in (True, False):
+            placer = DevicePlacer(tree, window=args.window,
+                                  est_kernel=est)
+            seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
+
+            def run_place():
+                placer.place_batch_win(seqs, starts, ends,
+                                       summary_only=True)
+            run_place()
+            print(f"place_estk{int(est)}_s {timed(run_place):.4f}",
+                  flush=True)
+
+    if "place-prof" in stages:
+        placer = DevicePlacer(tree, window=args.window)
         seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
 
         def run_place():
             placer.place_batch_win(seqs, starts, ends,
                                    summary_only=True)
-
         run_place()
-        t = timed(run_place)
-        print(f"place_estk{int(est)}_s {t:.4f}", flush=True)
+        print(f"place_s {timed(run_place):.4f}", flush=True)
+        prof = os.path.join(REPO, ".bench", "prof")
+        jax.profiler.start_trace(prof)
+        run_place()
+        jax.profiler.stop_trace()
+        traces = sorted(glob.glob(os.path.join(
+            prof, "**", "*.trace.json.gz"), recursive=True),
+            key=os.path.getmtime)
+        if not traces:
+            print("no trace written", file=sys.stderr)
+            return
+        with gzip.open(traces[-1], "rt") as fh:
+            data = json.load(fh)
+        events = data.get("traceEvents", [])
+        pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
+                     for e in events if e.get("ph") == "M"
+                     and e.get("name") == "process_name"}
+        agg = {}
+        for e in events:
+            if e.get("ph") != "X":
+                continue
+            pname = str(pid_names.get(e.get("pid"), ""))
+            if "TPU" not in pname and "device" not in pname.lower():
+                continue
+            name = e.get("name", "?")
+            agg[name] = agg.get(name, 0.0) + e.get("dur", 0.0)
+        top = sorted(agg.items(), key=lambda kv: -kv[1])[:20]
+        print(f"device_total_us {sum(agg.values()):.0f}")
+        for name, dur in top:
+            print(f"  {dur:10.0f} us  {name[:90]}")
 
 
 if __name__ == "__main__":
