@@ -119,7 +119,8 @@ def sharded_place_batch(mesh: Mesh, placer, seqs, starts, ends,
     seqs = np.asarray(seqs, np.int8)
     L = placer.tree.cs_len
     if seqs.shape[1] != placer.W:
-        sc = np.minimum(np.asarray(starts, np.int64), L - placer.W)
+        sc = np.minimum(np.asarray(starts, np.int64),
+                        placer.start_bound)
         seqs = seqs[np.arange(len(seqs))[:, None],
                     sc[:, None] + np.arange(placer.W)]
 
@@ -181,7 +182,8 @@ def sharded_place_batch_tree(mesh: Mesh, placer, seqs, starts, ends,
 
     seqs = np.asarray(seqs, np.int8)
     if seqs.shape[1] != placer.W:
-        sc = np.minimum(np.asarray(starts, np.int64), L - placer.W)
+        sc = np.minimum(np.asarray(starts, np.int64),
+                        placer.start_bound)
         seqs = seqs[np.arange(len(seqs))[:, None],
                     sc[:, None] + np.arange(placer.W)]
     ends = np.minimum(np.asarray(ends), np.asarray(starts) + placer.W - 1)

@@ -38,9 +38,9 @@ INF = jnp.inf
 
 class DeviceTree(NamedTuple):
     """Tree/DB arrays staged on device (a jax pytree)."""
-    msg_up: jax.Array     # [N, 4, L] f32
-    msg_down: jax.Array   # [N, 4, L]
-    seqs: jax.Array       # [N, L] int8
+    msg_up: jax.Array     # [N, 4, Lw] f32/bf16 (Lw = L or site window)
+    msg_down: jax.Array   # [N, 4, Lw]
+    seqs: jax.Array       # [N, Lw] int8
     brlen: jax.Array      # [N]
     heights: jax.Array    # [N]
     parent: jax.Array     # [N] int32
@@ -49,14 +49,28 @@ class DeviceTree(NamedTuple):
     pi: jax.Array         # [4]
     log_pi: jax.Array     # [4]
     rates: jax.Array      # [K] discrete-Gamma rates (or [1.0])
+    msg_s0: jax.Array     # [] int32: CS site of msg/seqs column 0
+    seq1h: jax.Array | None = None    # [N, Lw*4] int8 one-hot window
+    nvalid: jax.Array | None = None   # [N, Lw] int8 validity window
 
     @classmethod
     def from_tree(cls, tree: PTUnrooted, dtype=jnp.float32,
-                  msg_dtype=None) -> "DeviceTree":
+                  msg_dtype=None,
+                  site_window: tuple[int, int] | None = None
+                  ) -> "DeviceTree":
         """msg_dtype overrides the storage dtype of the per-edge
         message tensors (the HBM-dominant [N,4,L] pair — bf16 halves
         the footprint for reference-scale trees; compute stays f32
-        after gathering)."""
+        after gathering; bf16 keeps f32's 8-bit exponent, so the
+        reference's MIN_LOGLIK_EXP-scale magnitudes cannot overflow
+        the way f16 would).
+
+        site_window=(s0, Ws): stage only CS columns [s0, s0+Ws) of the
+        message/sequence tensors — the single-chip capacity mode for
+        reference-scale DBs (gg_97: [N,4,L] f32 pairs are ~29 GB vs
+        16 GB v5e HBM, but an amplicon run only ever touches the
+        primer-anchored span).  The node-seq one-hot planes for the
+        seed p-dist matmul are precomputed host-side in this mode."""
         f = lambda a: jnp.asarray(a, dtype=dtype)
         rates = np.ones(1) if tree.dg is None \
             else np.asarray(tree.dg.rates)
@@ -68,15 +82,33 @@ class DeviceTree(NamedTuple):
             anno_id[u] = taxa.setdefault(a, len(taxa))
         fm = (lambda a: jnp.asarray(a, dtype=msg_dtype)) \
             if msg_dtype is not None else f
+        s0 = 0
+        seq1h = nvalid = None
+        if site_window is None:
+            msg_up, msg_down = tree.msg_up, tree.msg_down
+            seqs = tree.seqs
+        else:
+            s0, Ws = site_window
+            sl = slice(s0, s0 + Ws)
+            # host-side slicing: only the window crosses the link
+            msg_up = np.ascontiguousarray(tree.msg_up[:, :, sl])
+            msg_down = np.ascontiguousarray(tree.msg_down[:, :, sl])
+            seqs = np.ascontiguousarray(tree.seqs[:, sl])
+            one_hot = (seqs[:, :, None]
+                       == np.arange(4, dtype=np.int8)).astype(np.int8)
+            seq1h = jnp.asarray(one_hot.reshape(len(seqs), -1))
+            nvalid = jnp.asarray((seqs >= 0).astype(np.int8))
         return cls(
-            msg_up=fm(tree.msg_up), msg_down=fm(tree.msg_down),
-            seqs=jnp.asarray(tree.seqs, jnp.int8),
+            msg_up=fm(msg_up), msg_down=fm(msg_down),
+            seqs=jnp.asarray(seqs, jnp.int8),
             brlen=f(tree.brlen), heights=f(tree.heights),
             parent=jnp.asarray(tree.parent, jnp.int32),
             anno_dist=f(tree.anno_dist),
             anno_id=jnp.asarray(anno_id),
             pi=f(tree.model.pi), log_pi=f(np.log(tree.model.pi)),
             rates=f(rates),
+            msg_s0=jnp.asarray(s0, jnp.int32),
+            seq1h=seq1h, nvalid=nvalid,
         )
 
 
@@ -128,6 +160,17 @@ def _round_up(x: int, m: int) -> int:
 
 
 FP_ROWS = 128   # candidate lanes per fixed-point kernel program
+
+
+class OutOfWindowError(ValueError):
+    """Raised when a window-resident placer receives reads whose
+    placement window falls outside the staged site window; carries the
+    offending batch row indices so the caller can reroute them."""
+
+    def __init__(self, rows):
+        self.rows = np.asarray(rows)
+        super().__init__(
+            f"{len(self.rows)} reads outside the resident site window")
 
 
 def _fp_kernel(scal_ref, eA_ref, eB_ref, out_ref):
@@ -310,11 +353,15 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     B = seq_win.shape[0]
     N = dt.seqs.shape[0]
     rates = dt.rates[:n_rates]
-    starts_c = jnp.minimum(starts, L - W)               # [B]
     if Ws is None:
         Ws = L
     if s0 is None:
         s0 = jnp.zeros((), jnp.int32)
+    # clamp each read's W-wide gather window inside the union window
+    # [s0, s0+Ws) — equal to the old min(start, L-W) when the union
+    # spans to csLen, and required when messages are a resident site
+    # window (callers slice seq_win at the same clamped position)
+    starts_c = jnp.minimum(starts, s0 + Ws - W)         # [B]
 
     # ---- seed: p-dist of every read against every node -------------------
     # computed over the batch's UNION site window [s0, s0+Ws) only —
@@ -325,23 +372,36 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
         lambda w, s: jax.lax.dynamic_update_slice(
             jnp.full((Ws,), -2, jnp.int8), w, (s,)))(
                 seq_win, starts_c - s0)                 # [B, Ws]
-    nseqs_w = jax.lax.dynamic_slice(dt.seqs, (0, s0), (N, Ws))
     site_idx = jnp.arange(Ws)[None, :] + s0
     win = (site_idx >= starts[:, None]) \
         & (site_idx <= ends[:, None])                   # [B, Ws]
     q_valid = (seqs_w >= 0) & win
-    n_valid = nseqs_w >= 0                              # [N, Ws]
-    # mismatch counting via one-hot matmuls keeps the [B,Ws]x[N,Ws]
-    # reduction on the MXU instead of a [B,N,Ws] broadcast
-    q1h = jax.nn.one_hot(jnp.where(q_valid, seqs_w, 4), 5,
-                         dtype=dt.pi.dtype)[:, :, :4]   # [B, Ws, 4]
-    n1h = jax.nn.one_hot(jnp.where(n_valid, nseqs_w, 4), 5,
-                         dtype=dt.pi.dtype)[:, :, :4]   # [N, Ws, 4]
-    match = jnp.einsum("blk,nlk->bn", q1h, n1h,
-                       precision=jax.lax.Precision.HIGHEST)
-    both = jnp.einsum("bl,nl->bn", q1h.sum(-1), n1h.sum(-1),
-                      precision=jax.lax.Precision.HIGHEST)
-    dist = jnp.where(both > 0, (both - match) / jnp.maximum(both, 1),
+    # mismatch counting via int8 one-hot matmuls: the [B,Ws]x[N,Ws]
+    # reduction rides the MXU's s8xs8->s32 path (exact integer counts,
+    # identical to the f32 form) and never materializes an f32 one-hot
+    # of the full node matrix — 4x less HBM at reference tree scale
+    i8 = jnp.int8
+    base4 = jnp.arange(4, dtype=i8)
+    q1h8 = ((seqs_w[:, :, None] == base4)
+            & q_valid[:, :, None]).astype(i8)           # [B, Ws, 4]
+    if dt.seq1h is not None:
+        n1h8 = dt.seq1h                                 # [N, Ws*4]
+        nv8 = dt.nvalid                                 # [N, Ws]
+    else:
+        nseqs_w = jax.lax.dynamic_slice(
+            dt.seqs, (0, s0 - dt.msg_s0), (N, Ws))
+        n1h8 = ((nseqs_w[:, :, None] == base4)
+                .astype(i8).reshape(N, Ws * 4))
+        nv8 = (nseqs_w >= 0).astype(i8)
+    dim = (((1,), (1,)), ((), ()))
+    match = jax.lax.dot_general(q1h8.reshape(B, Ws * 4), n1h8, dim,
+                                preferred_element_type=jnp.int32)
+    both = jax.lax.dot_general(q_valid.astype(i8), nv8, dim,
+                               preferred_element_type=jnp.int32)
+    f = dt.pi.dtype
+    dist = jnp.where(both > 0,
+                     (both - match).astype(f)
+                     / jnp.maximum(both, 1).astype(f),
                      jnp.nan)                           # [B, N]
 
     eligible = (dt.parent >= 0) & (dt.heights <= max_height)
@@ -361,10 +421,12 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
 
     # ---- gather candidate windows ---------------------------------------
     def slice_msg(arr, node, start):
-        # arr [Nl, 4, L] -> [4, W] window at start for one candidate
-        # (node ids are global; the message tensor may be a shard)
+        # arr [Nl, 4, Lw] -> [4, W] window at start for one candidate
+        # (node ids are global; the message tensor may be a node shard
+        # and/or a site window starting at CS column msg_s0)
         n_l = node if node_lo is None else node - node_lo
-        return jax.lax.dynamic_slice(arr[n_l], (0, start), (4, W))
+        return jax.lax.dynamic_slice(arr[n_l],
+                                     (0, start - dt.msg_s0), (4, W))
 
     gather = jax.vmap(jax.vmap(slice_msg, in_axes=(None, 0, None)),
                       in_axes=(None, 0, 0))
@@ -604,12 +666,26 @@ class DevicePlacer:
                  msg_dtype=None, fp_pallas: bool | None = None,
                  sep_pallas: bool | None = None,
                  opt_k: int | None = None,
-                 est_kernel: bool = True):
+                 est_kernel: bool = True,
+                 site_window: tuple[int, int] | None = None):
+        """site_window=(s0, Ws): single-chip capacity mode — stage only
+        CS columns [s0, s0+Ws) of the HBM-dominant per-node tensors
+        (see DeviceTree.from_tree).  Every placed read's W-wide window
+        must lie inside it; dispatch_win validates and raises on
+        violators (callers route those reads to the host path)."""
         self.tree = tree
         self.W = min(window, tree.cs_len)
         self.C = max_nseed
         self.opt_k = opt_k          # None = optimize all live (faithful)
         self.est_kernel = est_kernel
+        if site_window is not None:
+            s0, Ws = site_window
+            Ws = min(Ws, tree.cs_len - s0)
+            if Ws < self.W:
+                raise ValueError(f"site_window width {Ws} < placement "
+                                 f"window {self.W}")
+            site_window = (s0, Ws)
+        self.site_window = site_window
         # single-kernel Pallas optimization loops on real TPUs; the
         # XLA while_loop everywhere else (interpret mode is slow).
         # sep_pallas fuses the WHOLE 3-branch optimization (subsuming
@@ -617,7 +693,8 @@ class DevicePlacer:
         on_tpu = jax.default_backend() == "tpu"
         self.fp_pallas = on_tpu if fp_pallas is None else fp_pallas
         self.sep_pallas = on_tpu if sep_pallas is None else sep_pallas
-        self.dt = DeviceTree.from_tree(tree, dtype, msg_dtype)
+        self.dt = DeviceTree.from_tree(tree, dtype, msg_dtype,
+                                       site_window)
         if tree.model.name == "GTR":
             tensors = (jnp.asarray(tree.model.U, dtype),
                        jnp.asarray(tree.model.U_1, dtype),
@@ -629,6 +706,15 @@ class DevicePlacer:
         self.eig = tuple(jnp.asarray(t, dtype)
                          for t in eig_tensors(tree.model))
         self.n_rates = 1 if tree.dg is None else len(tree.dg.rates)
+
+    @property
+    def start_bound(self) -> int:
+        """Largest valid clamped window start sc = min(start, bound):
+        csLen-W normally, (s0+Ws)-W when a site window is resident."""
+        if self.site_window is not None:
+            s0, Ws = self.site_window
+            return s0 + Ws - self.W
+        return self.tree.cs_len - self.W
 
     def place_batch(self, seqs: np.ndarray, starts: np.ndarray,
                     ends: np.ndarray, max_diff: float = math.inf,
@@ -644,8 +730,7 @@ class DevicePlacer:
         full candidate grids, which matters when the device->host link
         is thin."""
         seqs = np.asarray(seqs, np.int8)
-        L = seqs.shape[1]
-        sc = np.minimum(np.asarray(starts, np.int64), L - self.W)
+        sc = np.minimum(np.asarray(starts, np.int64), self.start_bound)
         wins = seqs[np.arange(len(seqs))[:, None],
                     sc[:, None] + np.arange(self.W)]
         return self.place_batch_win(wins, starts, ends, max_diff,
@@ -663,6 +748,14 @@ class DevicePlacer:
         asynchronous), so the caller can overlap the kernel with host
         work and materialize later."""
         ends = np.minimum(ends, starts + self.W - 1)
+        if self.site_window is not None:
+            # every read's clamped window must START inside the
+            # resident span (the upper end is enforced by the clamp)
+            sc = np.minimum(np.asarray(starts, np.int64),
+                            self.start_bound)
+            bad = sc < self.site_window[0]
+            if bad.any():
+                raise OutOfWindowError(np.nonzero(bad)[0])
         s0, Ws = self.union_window(starts)
         return place_batch_device(
             self.dt, jnp.asarray(seq_wins, jnp.int8),
@@ -681,6 +774,10 @@ class DevicePlacer:
         jit specialization; the seed p-dist then reduces over Ws
         instead of csLen sites, which is the dominant FLOP count for
         reference-scale trees."""
+        if self.site_window is not None:
+            # window-resident mode: the staged window IS the union
+            # window (the precomputed one-hot planes are aligned to it)
+            return self.site_window
         L = self.tree.cs_len
         starts = np.asarray(starts, np.int64)
         sc = np.minimum(starts, L - self.W)

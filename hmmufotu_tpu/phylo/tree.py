@@ -586,7 +586,8 @@ class PTUnrooted:
         return maxd, lvl, P, seq_leaves, bool(leaf_mask[self.root])
 
     def evaluate(self, dtype=np.float64,
-                 budget_bytes: int = 2 << 30, engine: str = "numpy"):
+                 budget_bytes: int = 2 << 30, engine: str = "numpy",
+                 sites: tuple[int, int] | None = None):
         """Fill msg_up and msg_down for every directed edge with one
         post-order and one pre-order sweep.
 
@@ -607,9 +608,16 @@ class PTUnrooted:
         parity); "jax" runs the identical blocked recurrence through
         jitted XLA-CPU kernels in f32 — ~30x faster transcendentals on
         weak hosts, the intended path at gg_97 scale.
+
+        ``sites=(lo, hi)``: fill messages only for CS columns
+        [lo, hi).  Per-site independence makes the restriction exact;
+        columns outside stay 0 (msg tensors are still allocated
+        [N, 4, L], but np.zeros pages are virtual until touched).
+        This is the amplicon capacity mode: a window-resident placer
+        (placement.DeviceTree site_window) only ever reads the window.
         """
         if engine == "jax":
-            return self._evaluate_jax(dtype, budget_bytes)
+            return self._evaluate_jax(dtype, budget_bytes, sites)
         if engine != "numpy":
             raise ValueError(f"unknown evaluate engine '{engine}'")
         N, L = self.num_nodes, self.cs_len
@@ -627,8 +635,9 @@ class PTUnrooted:
         B = max(16, int(budget_bytes // ((2 * N + 3 * n_max * K) * 32)))
         B = min(B, L)
 
-        for s0 in range(0, L, B):
-            s1 = min(s0 + B, L)
+        lo, hi = (0, L) if sites is None else sites
+        for s0 in range(lo, hi, B):
+            s1 = min(s0 + B, hi)
             w = s1 - s0
             up = np.zeros((N, 4, w))
             if len(seq_leaves):
@@ -683,7 +692,8 @@ class PTUnrooted:
                 dn[ch] = row_mean_exp_scaled(S) if K > 1 else S[:, :, :, 0]
             self.msg_down[:, :, s0:s1] = dn
 
-    def _evaluate_jax(self, dtype, budget_bytes: int):
+    def _evaluate_jax(self, dtype, budget_bytes: int,
+                      sites: tuple[int, int] | None = None):
         """The same blocked level sweep lowered to jitted XLA-CPU
         kernels (f32 compute).  Levels are processed in fixed-size
         padded EVAL_CHUNK child chunks so every kernel compiles exactly
@@ -765,8 +775,9 @@ class PTUnrooted:
                     leaf_block(codesbuf, logpi))[:r1 - r0]
             return out
 
-        for s0 in range(0, L, B):
-            s1 = min(s0 + B, L)
+        lo, hi = (0, L) if sites is None else sites
+        for s0 in range(lo, hi, B):
+            s1 = min(s0 + B, hi)
             w = s1 - s0
             up = np.zeros((N, 4, B), np.float32)
             if len(seq_leaves):

@@ -473,13 +473,14 @@ def _aln_windows(tree: PTUnrooted, placer, alns):
     starts = np.zeros(B, dtype=np.int32)
     ends = np.zeros(B, dtype=np.int32)
     valid = np.zeros(B, dtype=bool)
+    bound = placer.start_bound
     for r, aln in enumerate(alns):
         if not aln.is_valid():
             continue
         valid[r] = True
         starts[r] = aln.cs_start - 1
         ends[r] = aln.cs_end - 1
-        seqs[r] = aln_to_digital_win(aln, min(int(starts[r]), L - W), W)
+        seqs[r] = aln_to_digital_win(aln, min(int(starts[r]), bound), W)
     return seqs, starts, ends, valid
 
 

@@ -219,6 +219,90 @@ class TestDevicePlacement:
                                       ok["summary"][:, :3])
 
 
+class TestWindowResidentPlacer:
+    """Single-chip capacity mode: site-window-resident message tensors
+    (DeviceTree.from_tree site_window) must reproduce the full-length
+    placer exactly — the window covers every read, so every gathered
+    quantity is identical."""
+
+    def _reads(self, tree, B=8, seed=5):
+        rng = np.random.default_rng(seed)
+        leaves = [u for u in range(tree.num_nodes)
+                  if tree.is_leaf(u) and tree.msa_id[u] >= 0]
+        seqs = np.full((B, tree.cs_len), -2, dtype=np.int8)
+        starts = np.zeros(B, np.int32)
+        ends = np.zeros(B, np.int32)
+        for r in range(B):
+            u = int(rng.choice(leaves))
+            codes = tree.seqs[u]
+            pos = np.nonzero(codes >= 0)[0]
+            st = int(rng.integers(0, max(1, len(pos) - 210)))
+            w = pos[st:st + 200]
+            piece = codes[w].copy()
+            mut = rng.random(len(piece)) < 0.02
+            piece[mut] = rng.integers(0, 4, int(mut.sum()))
+            seqs[r, w] = piece
+            starts[r], ends[r] = w[0], w[-1]
+        return seqs, starts, ends
+
+    def test_matches_full(self, db_prefix):
+        from hmmufotu_tpu.db import Database
+        from hmmufotu_tpu.phylo.placement import DevicePlacer
+        tree = Database.load(db_prefix).ptu
+        seqs, starts, ends = self._reads(tree)
+        full = DevicePlacer(tree, window=384)
+        # resident window = the run's union span, like the scale path
+        s0, Ws = full.union_window(starts)
+        win = DevicePlacer(tree, window=384, site_window=(s0, Ws))
+        assert win.dt.msg_up.shape[2] == min(Ws, tree.cs_len - s0)
+        assert win.dt.seq1h is not None
+        of = full.place_batch(seqs, starts, ends)
+        ow = win.place_batch(seqs, starts, ends)
+        np.testing.assert_array_equal(of["cand"], ow["cand"])
+        np.testing.assert_array_equal(of["c_dist"], ow["c_dist"])
+        live = of["live"]
+        np.testing.assert_allclose(of["loglik"][live],
+                                   ow["loglik"][live],
+                                   rtol=1e-5, atol=1e-3)
+        np.testing.assert_array_equal(of["summary"][:, :3],
+                                      ow["summary"][:, :3])
+
+    def test_out_of_window_rejected(self, db_prefix):
+        from hmmufotu_tpu.db import Database
+        from hmmufotu_tpu.phylo.placement import (DevicePlacer,
+                                                  OutOfWindowError)
+        tree = Database.load(db_prefix).ptu
+        seqs, starts, ends = self._reads(tree, B=4)
+        win = DevicePlacer(tree, window=384,
+                           site_window=(int(starts.min()), 384))
+        bad = starts.copy()
+        bad[2] = 0 if starts.min() > 0 else tree.cs_len - 200
+        with pytest.raises(OutOfWindowError) as ei:
+            win.place_batch(seqs, bad, ends)
+        assert 2 in ei.value.rows
+
+    def test_bf16_messages(self, db_prefix):
+        """bf16 message storage (the gg_97 HBM plan) keeps the same
+        candidate selection; logliks agree to bf16 tolerance."""
+        import jax.numpy as jnp
+        from hmmufotu_tpu.db import Database
+        from hmmufotu_tpu.phylo.placement import DevicePlacer
+        tree = Database.load(db_prefix).ptu
+        seqs, starts, ends = self._reads(tree, B=6, seed=9)
+        full = DevicePlacer(tree, window=384)
+        s0, Ws = full.union_window(starts)
+        win = DevicePlacer(tree, window=384, site_window=(s0, Ws),
+                           msg_dtype=jnp.bfloat16)
+        of = full.place_batch(seqs, starts, ends)
+        ow = win.place_batch(seqs, starts, ends)
+        # seed p-dist doesn't touch messages: identical candidates
+        np.testing.assert_array_equal(of["cand"], ow["cand"])
+        live = of["live"]
+        np.testing.assert_allclose(of["loglik"][live],
+                                   ow["loglik"][live],
+                                   rtol=5e-3, atol=3.0)
+
+
 class TestOTUTable:
     def test_roundtrip_and_ops(self, tmp_path):
         t = OTUTable()
