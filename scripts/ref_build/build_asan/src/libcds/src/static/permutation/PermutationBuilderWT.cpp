@@ -1,0 +1,27 @@
+/**
+ *    PermutationBuilderWT.cpp
+ *    Copyright (C) 2011  Francisco Claude F.
+ *
+ *    This program is free software: you can redistribute it and/or modify
+ *    it under the terms of the GNU General Public License as published by
+ *    the Free Software Foundation, either version 3 of the License, or
+ *    (at your option) any later version.
+ *
+ *    This program is distributed in the hope that it will be useful,
+ *    but WITHOUT ANY WARRANTY; without even the implied warranty of
+ *    MERCHANTABILITY or FITNESS FOR A PARTICULAR PURPOSE.  See the
+ *    GNU General Public License for more details.
+ *
+ *    You should have received a copy of the GNU General Public License
+ *    along with this program.  If not, see <http://www.gnu.org/licenses/>.
+ */
+
+#include <PermutationBuilderWT.h>
+
+namespace cds_static
+{
+	Permutation * PermutationBuilderWT::build(uint * perm, uint len) const
+	{
+		return new PermutationWT(perm,len);
+	}
+}

@@ -1,0 +1,1 @@
+// stub: compression filters unused (HAVE_LIBZ undefined in shim build)

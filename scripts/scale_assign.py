@@ -196,13 +196,24 @@ def main(argv=None):
             stats.get("peak_bytes_in_use", 0) / 1e9, 2)
         res["hbm_limit_gb"] = round(
             stats.get("bytes_limit", 0) / 1e9, 2)
+    # resident DB footprint (the axon backend exposes no memory_stats)
+    res["db_resident_gb"] = round(sum(
+        a.nbytes for a in placer.dt if hasattr(a, "nbytes")) / 1e9, 2)
+    try:
+        res["hbm_live_gb"] = round(sum(
+            x.nbytes for x in jax.live_arrays()) / 1e9, 2)
+    except Exception:
+        pass
 
     # ---- parity spot-check vs exact host SEP path -----------------------
-    P = min(args.parity, args.reads)
+    P = min(args.parity, args.reads, args.batch)
     if P:
+        # reuse the streaming batch-size jit specialization (a P-sized
+        # batch would recompile, minutes through the axon tunnel)
+        Bc = min(args.batch, args.reads)
         out = placer.place_batch_win(
-            wins[:P], starts[:P].astype(np.int32),
-            ends_c[:P].astype(np.int32), summary_only=True)
+            wins[:Bc], starts[:Bc].astype(np.int32),
+            ends_c[:Bc].astype(np.int32), summary_only=True)
         s = out["summary"]
         n_match = n_leaf = 0
         max_dll = 0.0
