@@ -66,21 +66,43 @@ def host_shard(items: list, process_id: int | None = None,
     return items[lo:hi]
 
 
-def gather_host_text(text: str) -> list[str]:
-    """All-gather one text blob per process, returned in process
-    order (the ordered-output merge: every process calls this; process
-    0 concatenates and writes).  Rides the distributed runtime's
-    cross-host collective (Gloo on CPU, DCN on pods)."""
+def gather_host_text(text: str,
+                     chunk_bytes: int = 64 << 20) -> list[str]:
+    """Gather one text blob per process to PROCESS 0 in process order
+    (the ordered-output merge: every process calls this; process 0
+    concatenates and writes; other processes receive []).
+
+    Chunked: the underlying primitive is an allgather (Gloo on CPU,
+    DCN on pods), so each round moves num_processes x chunk_bytes —
+    peak memory is bounded by the chunk size, not by the largest
+    process output (round-3 review: a whole-blob allgather was
+    unbounded at the 100M-read config #5 this serves), and non-zero
+    processes drop each round's result immediately."""
     from jax.experimental import multihost_utils
-    blob = np.frombuffer(text.encode(), dtype=np.uint8)
+    blob = text.encode()
     lens = multihost_utils.process_allgather(
-        np.array([len(blob)], np.int64))
-    m = max(int(lens.max()), 1)
-    buf = np.zeros(m, np.uint8)
-    buf[: len(blob)] = blob
-    gathered = multihost_utils.process_allgather(buf)
-    return [bytes(gathered[p][: int(lens[p, 0])]).decode()
-            for p in range(gathered.shape[0])]
+        np.array([len(blob)], np.int64))[:, 0]
+    n_proc = len(lens)
+    chunk_bytes = min(chunk_bytes, max(int(lens.max()), 1))
+    rounds = max(1, -(-int(lens.max()) // chunk_bytes))
+    is_zero = jax.process_index() == 0
+    parts = [bytearray() for _ in range(n_proc)] if is_zero else None
+    buf = np.zeros(chunk_bytes, np.uint8)
+    for r in range(rounds):
+        lo = r * chunk_bytes
+        piece = blob[lo:lo + chunk_bytes]
+        buf[:len(piece)] = np.frombuffer(piece, np.uint8)
+        buf[len(piece):] = 0
+        gathered = multihost_utils.process_allgather(buf)
+        if is_zero:
+            for p in range(n_proc):
+                n = min(max(int(lens[p]) - lo, 0), chunk_bytes)
+                if n:
+                    parts[p] += bytes(gathered[p][:n])
+        del gathered
+    if not is_zero:
+        return []
+    return [bytes(p).decode() for p in parts]
 
 
 def multihost_otu_psum(local_taxon_ids: np.ndarray,

@@ -600,82 +600,128 @@ def merge_mp_candidates(tree: PTUnrooted, union: dict, valid, starts,
     the merged result equals the single-device kernel's.
     """
     cand = union["cand"].astype(np.int64)
-    cd = union["c_dist"]
-    est = union["est_loglik"]
-    ll = union["loglik"]
+    # KEEP the device's f32 dtype end-to-end: the single-device path
+    # computes Q values in f32 on device, and category-for-category
+    # equality (e.g. 1-post flushing to 0 -> qPlace 250) depends on
+    # the same rounding
+    cd = np.asarray(union["c_dist"])
+    est = np.asarray(union["est_loglik"])
+    ll = np.asarray(union["loglik"])
     ratio = union["ratio"]
     wnr = union["wnr"]
     w0 = union["w0"]
     live = union["live"] > 0.5
-    B = cand.shape[0]
+    B, CS = cand.shape
     heights = tree.heights
-    parent = tree.parent
+    parent = np.asarray(tree.parent)
     # the single-device path now optimizes every surviving candidate
-    # (opt_k defaults to C — see place_batch_device); mirror that here
-    opt_k = C
+    # (opt_k defaults to C — see place_batch_device); the est-rank
+    # compaction therefore keeps every filter survivor and the merge
+    # reduces to masked selection — fully batchable numpy (the round-3
+    # per-read/per-lane python loops serialized gg_97-size batches)
 
+    # global top-C by (dist, node id): two stable argsorts = lexsort,
+    # batched over rows
+    cd_s = np.where(np.isfinite(cd), cd, np.inf)
+    i2 = np.argsort(cand, axis=1, kind="stable")
+    i1 = np.argsort(np.take_along_axis(cd_s, i2, 1), axis=1,
+                    kind="stable")
+    order = np.take_along_axis(i2, i1, 1)[:, :C]        # [B, C]
+    cdo = np.take_along_axis(cd_s, order, 1)
+
+    def take(x):
+        return np.take_along_axis(np.asarray(x), order, 1)
+
+    ok = np.isfinite(cdo) & (cdo - cdo[:, :1] <= max_diff)
+    e = take(est)
+    with np.errstate(invalid="ignore"):
+        e_best = np.nanmax(np.where(ok & np.isfinite(e), e, np.nan),
+                           axis=1, keepdims=True)
+    ok1 = ok & np.isfinite(e) & (e_best - e <= max_error)
+    # reorder lanes by estimate rank — the single-device path compacts
+    # candidates through top_k(est) before optimizing (take_c in
+    # place_batch_device), and argmax tie-breaks (equal-loglik
+    # placements at a shared node) follow that lane order
+    sel = np.argsort(np.where(ok1, -e, np.inf), axis=1, kind="stable")
+    order = np.take_along_axis(order, sel, 1)
+    ok = np.take_along_axis(ok1, sel, 1) \
+        & take(live) & np.isfinite(take(ll))
+
+    lls = take(ll)
+    c_n = take(cand)
+    p_n = parent[c_n]
+    rat = take(ratio)
+    wn = take(wnr)
+    w_0 = take(w0)
+    wur = rat * w_0
+    height_f = heights[c_n] + wur
+    a_is_c = (rat <= 0.5) | (heights[p_n] > max_height)
+    a_n = np.where(a_is_c, c_n, p_n)
+    anno_place = np.where(a_is_c, wur + wn, (w_0 - wur) + wn)
+    if prior_type == "height":
+        # placement-only anno dist (PhyloTreeUnrooted.cpp:1166-1177)
+        lp = -(anno_place - wn + height_f)
+    else:
+        lp = np.zeros_like(lls)
+    pp = np.where(ok, lls + lp, -np.inf)                # [B, C]
+    m = pp.max(axis=1, keepdims=True)
+    m_f = np.where(np.isfinite(m), m, 0.0)
+    wgt = np.exp(pp - m_f)
+    tot = wgt.sum(axis=1, keepdims=True)
+    post = wgt / np.maximum(tot, np.finfo(pp.dtype).tiny)
+    with np.errstate(divide="ignore"):
+        q_place = np.minimum(
+            -10.0 * np.log10(np.maximum(1.0 - post, 0.0)), MAX_Q)
+    # per-taxon grouping via dense anno ids (same-taxon logsumexp),
+    # chunked over rows to bound the [b, C, C] pair tensor
+    anno_ids = getattr(tree, "_anno_ids", None)
+    if anno_ids is None:
+        taxa_map: dict[str, int] = {}
+        anno_ids = np.array([taxa_map.setdefault(a, len(taxa_map))
+                             for a in tree.anno], dtype=np.int64)
+        tree._anno_ids = anno_ids
+    tax = anno_ids[a_n]                                 # [B, C]
+    lse_all = m_f[:, 0] + np.log(
+        np.maximum(tot[:, 0], np.finfo(pp.dtype).tiny))
+    q_taxon = np.empty_like(q_place)
+    CH = max(1, (1 << 24) // (C * C))
+    for b0 in range(0, B, CH):
+        b1 = min(b0 + CH, B)
+        same = tax[b0:b1, :, None] == tax[b0:b1, None, :]
+        pp_pair = np.where(same, pp[b0:b1, None, :], -np.inf)
+        mp = pp_pair.max(axis=2)
+        mp_f = np.where(np.isfinite(mp), mp, 0.0)
+        lse_t = mp_f + np.log(np.maximum(
+            np.exp(pp_pair - mp_f[:, :, None]).sum(axis=2),
+            np.finfo(pp.dtype).tiny))
+        # post_t <= 1 mathematically; clamp masked lanes (whose lse_t
+        # is a tiny-floor artifact) so exp never overflows
+        post_t = np.exp(np.minimum(lse_t - lse_all[b0:b1, None], 0.0))
+        with np.errstate(divide="ignore"):
+            q_taxon[b0:b1] = np.minimum(
+                -10.0 * np.log10(np.maximum(1.0 - post_t, 0.0)), MAX_Q)
+    score = lls if ml_only else pp
+    best = np.argmax(np.where(ok, score, -np.inf), axis=1)  # [B]
+    any_ok = ok.any(axis=1)
+
+    def pick(x):
+        return np.take_along_axis(x, best[:, None], 1)[:, 0]
+
+    bc, bp, ba = pick(c_n), pick(p_n), pick(a_n)
+    bw0, brat, bwn = pick(w_0), pick(rat), pick(wn)
+    bll, bh = pick(lls), pick(height_f)
+    bqp, bqt = pick(q_place), pick(q_taxon)
     results: list[PTPlacement | None] = []
     for r in range(B):
-        if not valid[r]:
+        if not valid[r] or not any_ok[r]:
             results.append(None)
             continue
-        fin = np.nonzero(np.isfinite(cd[r]))[0]
-        if fin.size == 0:
-            results.append(None)
-            continue
-        # global top-C by (dist, node id) — the device top_k order
-        order = fin[np.lexsort((cand[r, fin], cd[r, fin]))][:C]
-        order = order[cd[r, order] - cd[r, order[0]] <= max_diff]
-        e = est[r, order]
-        keep = np.isfinite(e) & (e.max() - e <= max_error)
-        order, e = order[keep], e[keep]
-        sel = np.argsort(-e, kind="stable")[:opt_k]
-        lanes = order[sel]
-        lanes = lanes[live[r, lanes] & np.isfinite(ll[r, lanes])]
-        if lanes.size == 0:
-            results.append(None)
-            continue
-        lls = ll[r, lanes]
-        c_n = cand[r, lanes]
-        p_n = parent[c_n]
-        rat = ratio[r, lanes]
-        wn = wnr[r, lanes]
-        w_0 = w0[r, lanes]
-        wur = rat * w_0
-        height_f = heights[c_n] + wur
-        a_is_c = (rat <= 0.5) | (heights[p_n] > max_height)
-        a_n = np.where(a_is_c, c_n, p_n)
-        anno_place = np.where(a_is_c, wur + wn, (w_0 - wur) + wn)
-        if prior_type == "height":
-            # placement-only anno dist (PhyloTreeUnrooted.cpp:1166-1177)
-            lp = -(anno_place - wn + height_f)
-        else:
-            lp = np.zeros_like(lls)
-        pp = lls + lp
-        m = pp.max()
-        wgt = np.exp(pp - m)
-        post = wgt / wgt.sum()
-        with np.errstate(divide="ignore"):
-            q_place = np.minimum(
-                -10.0 * np.log10(np.maximum(1.0 - post, 0.0)), MAX_Q)
-        taxa = np.array([tree.anno[a] for a in a_n])
-        lse_all = m + np.log(wgt.sum())
-        q_taxon = np.empty_like(q_place)
-        for i in range(len(lanes)):
-            same = taxa == taxa[i]
-            lse_t = pp[same].max() + np.log(
-                np.exp(pp[same] - pp[same].max()).sum())
-            post_t = np.exp(lse_t - lse_all)
-            with np.errstate(divide="ignore"):
-                q_taxon[i] = min(-10.0 * np.log10(max(1.0 - post_t,
-                                                      0.0)), MAX_Q)
-        best = int(np.argmax(lls if ml_only else pp))
         results.append(PTPlacement(
             int(starts[r]), int(ends[r]),
-            int(c_n[best]), int(p_n[best]), int(a_n[best]),
-            float(w_0[best]), float(rat[best]), float(wn[best]),
-            float(lls[best]), float(height_f[best]),
-            float(q_place[best]), float(q_taxon[best])))
+            int(bc[r]), int(bp[r]), int(ba[r]),
+            float(bw0[r]), float(brat[r]), float(bwn[r]),
+            float(bll[r]), float(bh[r]),
+            float(bqp[r]), float(bqt[r])))
     return results
 
 

@@ -103,6 +103,54 @@ sys.exit(main([r"{db}", r"{reads}", "-o", r"{multi}",
     assert srows == mrows      # byte-for-byte, in original read order
 
 
+def test_two_process_paired_end_matches_single(fixture_db):
+    """Paired-end assign across 2 processes reproduces the
+    single-process TSV rows (fwd/rev shards stay aligned)."""
+    db, reads, tmp = fixture_db
+    mates = str(tmp / "r2.fasta")
+    code = f"""
+from hmmufotu_tpu.cli.sim import main as sim_main
+assert sim_main([r"{db}", r"{tmp}/rpe.fasta", "-m", r"{mates}",
+                 "-N", "16", "-S", "5",
+                 "--mean-size", "400", "--sd-size", "10"]) == 0
+print("PE_OK")
+"""
+    res = subprocess.run([sys.executable, "-c", code],
+                         env=scrubbed_cpu_env(2), cwd=REPO_ROOT,
+                         capture_output=True, text=True, timeout=420)
+    assert "PE_OK" in res.stdout, res.stderr
+    fwd = str(tmp / "rpe.fasta")
+
+    single = str(tmp / "single_pe.tsv")
+    res = subprocess.run(
+        [sys.executable, "-m", "hmmufotu_tpu.cli.assign", db, fwd,
+         mates, "-o", single], env=scrubbed_cpu_env(2), cwd=REPO_ROOT,
+        capture_output=True, text=True, timeout=420)
+    assert res.returncode == 0, res.stderr
+
+    port = _free_port()
+    multi = str(tmp / "multi_pe.tsv")
+    codes = [f"""
+import sys
+from hmmufotu_tpu.parallel import distributed
+from hmmufotu_tpu.cli.assign import main
+# tiny gather chunk: force the multi-round chunked merge path
+_orig = distributed.gather_host_text
+distributed.gather_host_text = \
+    lambda text: _orig(text, chunk_bytes=256)
+sys.exit(main([r"{db}", r"{fwd}", r"{mates}", "-o", r"{multi}",
+               "--coordinator", "localhost:{port}",
+               "--num-processes", "2", "--process-id", "{pid}"]))
+""" for pid in (0, 1)]
+    results = _run_procs(codes)
+    for r in results:
+        assert r.returncode == 0, r.stderr
+
+    srows, mrows = _data_rows(single), _data_rows(multi)
+    assert len(srows) == len(mrows) == 16
+    assert srows == mrows
+
+
 def test_multihost_otu_psum(fixture_db):
     """Global per-taxon psum across 2 processes x 2 local devices
     equals the serial bincount of the concatenated shards."""

@@ -100,3 +100,38 @@ def _timed(fn):
     t0 = time.perf_counter()
     fn()
     return time.perf_counter() - t0
+
+
+def test_tree_mp_merge_budget():
+    """merge_mp_candidates at gg_97-scale batch shape (B=2048, C=50,
+    8 shards) must stay far below the ~1 s/batch device placement it
+    merges for — the round-3 per-read/per-lane python loops would
+    serialize the whole capacity mode (VERDICT r3 Weak #4)."""
+    import sys, os
+    sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..",
+                                    "scripts"))
+    from scale_eval import synth_tree
+    from hmmufotu_tpu import pipeline as pl
+
+    tree = synth_tree(256, 64, seed=3)
+    tree.anno = [f"g{u % 37}" for u in range(tree.num_nodes)]
+    rng = np.random.default_rng(0)
+    B, C, S = 2048, 50, 8
+    CS = C * S
+    N = tree.num_nodes
+    union = {
+        "cand": rng.integers(1, N, (B, CS)),
+        "c_dist": rng.random((B, CS), np.float32),
+        "est_loglik": -rng.random((B, CS), np.float32) * 30,
+        "loglik": -1000 - rng.random((B, CS), np.float32) * 30,
+        "ratio": rng.random((B, CS), np.float32),
+        "wnr": rng.random((B, CS), np.float32) * 0.1,
+        "w0": rng.random((B, CS), np.float32) * 0.2 + 0.01,
+        "live": (rng.random((B, CS)) < 0.8).astype(np.float32),
+    }
+    valid = np.ones(B, bool)
+    starts = np.zeros(B, np.int64)
+    ends = np.full(B, 63, np.int64)
+    t = _timed(lambda: pl.merge_mp_candidates(
+        tree, union, valid, starts, ends, C=C))
+    assert t < 3.0, f"tree-MP merge took {t:.2f}s for B={B}"
