@@ -98,6 +98,19 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--resume", action="store_true",
                    help="append to an existing output, skipping reads "
                         "already assigned (restartable batches)")
+    p.add_argument("--resident-window", type=int, default=0,
+                   metavar="WS",
+                   help="single-chip capacity mode: keep only a "
+                        "WS-column site window of the per-node "
+                        "message tensors device-resident (chosen "
+                        "from the first reads' aligned span; "
+                        "reference-scale DBs exceed one chip's HBM "
+                        "full-length).  Out-of-window reads fall back "
+                        "to the exact host path")
+    p.add_argument("--msg-bf16", action="store_true",
+                   help="store the per-node message tensors as "
+                        "bfloat16 (halves their HBM footprint; "
+                        "compute stays f32)")
     p.add_argument("--mesh", action="store_true",
                    help="shard placement over all local devices "
                         "(data parallel: reads sharded, DB replicated)")
@@ -256,24 +269,23 @@ def main(argv=None) -> int:
         log.error("Unmatched number of forward/reverse reads")
         return 1
 
-    # device placer for the batched SEP fast path (chimera checking
-    # still uses the host path per segment)
     placer = None
     mesh = None
     if args.mesh and args.mesh_tree:
         log.error("--mesh and --mesh-tree are mutually exclusive")
         return 1
-    if not args.align_only:
-        from ..phylo.placement import DevicePlacer
-        placer = DevicePlacer(tree, max_nseed=args.max_nseed,
-                              opt_k=args.opt_k or None)
-        if args.mesh or args.mesh_tree:
-            import jax
-            from ..parallel import make_mesh
-            mesh = make_mesh(local=multihost)
-            log.info("Sharding %s over %d devices",
-                     "tree messages" if args.mesh_tree
-                     else "placement reads", mesh.devices.size)
+    if args.resident_window and (args.mesh or args.mesh_tree):
+        log.error("--resident-window is the single-chip capacity "
+                  "mode; use --mesh-tree to shard full-length "
+                  "messages over a mesh instead")
+        return 1
+    if (args.mesh or args.mesh_tree) and not args.align_only:
+        import jax
+        from ..parallel import make_mesh
+        mesh = make_mesh(local=multihost)
+        log.info("Sharding %s over %d devices",
+                 "tree messages" if args.mesh_tree
+                 else "placement reads", mesh.devices.size)
 
     strand = args.strand
     if strand == 0:
@@ -287,6 +299,34 @@ def main(argv=None) -> int:
         else:
             for r in fwd_reads:
                 r.seq = DNA.revcom(r.seq)
+
+    # device placer for the batched SEP fast path (chimera checking
+    # still uses the host path per segment)
+    if not args.align_only:
+        import jax.numpy as jnp
+        from ..phylo.placement import DevicePlacer
+        site_window = None
+        if args.resident_window:
+            # choose the resident span from the first reads' aligned
+            # window (amplicon runs share a primer-anchored span);
+            # later out-of-window reads use the exact host path
+            sample = [r.seq for r in fwd_reads[:128]]
+            sample_alns = pl.align_reads(aligner, csfm, sample,
+                                         args.seed_len,
+                                         args.seed_region, mode, rng)
+            scs = [a.cs_start - 1 for a in sample_alns if a.is_valid()]
+            L = tree.cs_len
+            W = min(512, L)
+            Ws = min(max(args.resident_window, W), L)
+            lo = min(scs) if scs else 0
+            s0 = max(0, min(lo - lo % 128, L - Ws))
+            site_window = (s0, Ws)
+            log.info("Resident site window: [%d, %d) of %d columns",
+                     s0, s0 + Ws, L)
+        placer = DevicePlacer(
+            tree, max_nseed=args.max_nseed, opt_k=args.opt_k or None,
+            msg_dtype=jnp.bfloat16 if args.msg_bf16 else None,
+            site_window=site_window)
 
     # restartable batches: on --resume, skip reads already present in
     # the output and append (the stream-processing checkpoint story;

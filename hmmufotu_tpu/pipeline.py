@@ -512,19 +512,48 @@ def dispatch_place_batch(tree: PTUnrooted, placer, alns,
     """Enqueue batched SEP placement WITHOUT blocking; returns a
     handle for collect_place_batch.  Lets a streaming caller overlap
     the placement kernel of batch k with the host stages of batch
-    k+1 (jax dispatch is asynchronous)."""
+    k+1 (jax dispatch is asynchronous).
+
+    Window-resident placers (DevicePlacer site_window — the single-
+    chip capacity mode for reference-scale DBs): reads whose window
+    falls outside the resident site span are routed through the exact
+    host SEP path instead (assign_read), keeping one jit
+    specialization for the in-window majority."""
     seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
+    host_rows: dict[int, PTPlacement | None] = {}
+    if placer.site_window is not None:
+        # the device covers sites [start, min(end, start+W-1)]; route
+        # any read whose covered range leaves the resident span
+        w0, Wr = placer.site_window
+        W = placer.W
+        cov_end = np.minimum(ends.astype(np.int64),
+                             starts.astype(np.int64) + W - 1)
+        oow = valid & ((starts < w0) | (cov_end > w0 + Wr - 1))
+        if oow.any():
+            for r in np.nonzero(oow)[0]:
+                seq = aln_to_digital(tree, alns[r])
+                host_rows[int(r)] = assign_read(
+                    tree, alns[r], seq, max_diff, max_height,
+                    DEFAULT_MAX_NSEED, max_error,
+                    prior_type=prior_type, ml_only=ml_only)
+            # neutralize for the device call (decoded rows replaced)
+            starts = np.where(oow, w0, starts).astype(starts.dtype)
+            ends = np.where(oow, w0, ends).astype(ends.dtype)
+            seqs[oow] = -2
     out = placer.dispatch_win(seqs, starts, ends, max_diff, max_height,
                               max_error,
                               height_prior=(prior_type == "height"),
                               ml_only=ml_only)
-    return out["summary"], valid, starts, ends
+    return out["summary"], valid, starts, ends, host_rows
 
 
 def collect_place_batch(handle):
     """Block on and decode a dispatch_place_batch handle."""
-    summary, valid, starts, ends = handle
-    return _collect_placements(summary, valid, starts, ends)
+    summary, valid, starts, ends, host_rows = handle
+    results = _collect_placements(summary, valid, starts, ends)
+    for r, p in host_rows.items():
+        results[r] = p
+    return results
 
 
 def assign_stream(aligner: ViterbiAligner, csfm: CSFMIndex,

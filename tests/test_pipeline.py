@@ -303,6 +303,40 @@ class TestWindowResidentPlacer:
                                    rtol=5e-3, atol=3.0)
 
 
+class TestResidentWindowCLI:
+    """assign --resident-window: the single-chip capacity mode must
+    reproduce default output (full window = byte-identical; small
+    window = same taxa via the exact host fallback for out-of-window
+    reads)."""
+
+    def test_cli_resident_window(self, db_prefix, tmp_path):
+        from hmmufotu_tpu.cli.assign import main as assign_main
+        from hmmufotu_tpu.cli.sim import main as sim_main
+        from hmmufotu_tpu.db import Database
+        reads = str(tmp_path / "r.fa")
+        assert sim_main([db_prefix, reads, "-N", "24", "-S", "3",
+                         "--mean-size", "250", "--sd-size", "10"]) == 0
+        base = str(tmp_path / "base.tsv")
+        assert assign_main([db_prefix, reads, "-o", base]) == 0
+        L = Database.load(db_prefix).ptu.cs_len
+
+        def rows(p):
+            return [ln for ln in open(p)
+                    if not ln.startswith("#")
+                    and not ln.startswith("id\t")]
+
+        full = str(tmp_path / "full.tsv")
+        assert assign_main([db_prefix, reads, "-o", full,
+                            "--resident-window", str(L)]) == 0
+        assert rows(base) == rows(full)     # byte-identical
+
+        small = str(tmp_path / "small.tsv")
+        assert assign_main([db_prefix, reads, "-o", small,
+                            "--resident-window", "512"]) == 0
+        taxa = lambda rws: [r.split("\t")[13] for r in rws]
+        assert taxa(rows(base)) == taxa(rows(small))
+
+
 class TestOTUTable:
     def test_roundtrip_and_ops(self, tmp_path):
         t = OTUTable()
