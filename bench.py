@@ -7,10 +7,10 @@ TPU chip under the driver).
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
 
-vs_baseline is computed against an ESTIMATED reference throughput of
-1000 reads/s for 16-thread CPU hmmufotu on a DB of this size (the
-reference repo publishes no numbers — see BASELINE.md; the estimate is
-~60 us/read/thread for banded DP + placement at 70_otus scale).
+vs_baseline divides by a MEASURED reference throughput: the reference
+hmmufotu built from source (scripts/ref_build) runs these same reads
+on this same DB at 46 reads/s/thread with perfect 2-thread scaling,
+i.e. 736 reads/s at 16 threads (BASELINE.md "Measured CPU baseline").
 """
 
 from __future__ import annotations
@@ -35,7 +35,12 @@ FIXTURES = os.path.join(REPO, "tests", "fixtures")
 DB_PREFIX = os.path.join(CACHE, "70_otus")
 N_READS = 8192
 BATCH = 2048
-BASELINE_READS_PER_S = 1000.0
+# MEASURED: the reference hmmufotu built from source on this host
+# (scripts/ref_build/build_reference.sh) runs the same 4096 simulated
+# reads on the same 70_otus GTR DB at 46 reads/s/thread with perfect
+# 2-thread scaling (BASELINE.md "Measured CPU baseline") -> 16-thread
+# figure 46 x 16 = 736.  Replaces the round-1 1000 reads/s estimate.
+BASELINE_READS_PER_S = 736.0
 
 
 def ensure_db():

@@ -95,6 +95,9 @@ def main(argv=None):
                     help="reads to cross-check vs the exact host path")
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--max-nseed", type=int, default=50)
+    ap.add_argument("--cache", default="",
+                    help="dir to cache the evaluated message window "
+                         "(skips the ~30 min host evaluate on reruns)")
     args = ap.parse_args(argv)
 
     import jax
@@ -125,9 +128,28 @@ def main(argv=None):
     s_lo = max(0, (L - args.span) // 3)
     s_lo -= s_lo % 128
     Ws = min(args.span, L - s_lo)
+    cache = ""
+    if args.cache:
+        os.makedirs(args.cache, exist_ok=True)
+        cache = os.path.join(
+            args.cache,
+            f"msgs_{args.leaves}_{args.length}_{args.seed}_"
+            f"{args.model}_{s_lo}_{Ws}.npz")
     t0 = time.perf_counter()
-    tree.evaluate(dtype=np.float32, engine="jax",
-                  budget_bytes=4 << 30, sites=(s_lo, s_lo + Ws))
+    if cache and os.path.exists(cache):
+        z = np.load(cache)
+        tree.msg_up = np.zeros((tree.num_nodes, 4, L), np.float32)
+        tree.msg_down = np.zeros((tree.num_nodes, 4, L), np.float32)
+        tree.msg_up[:, :, s_lo:s_lo + Ws] = z["up"]
+        tree.msg_down[:, :, s_lo:s_lo + Ws] = z["down"]
+        res["eval_cached"] = True
+    else:
+        tree.evaluate(dtype=np.float32, engine="jax",
+                      budget_bytes=4 << 30, sites=(s_lo, s_lo + Ws))
+        if cache:
+            np.savez(cache,
+                     up=tree.msg_up[:, :, s_lo:s_lo + Ws],
+                     down=tree.msg_down[:, :, s_lo:s_lo + Ws])
     res["t_eval_s"] = round(time.perf_counter() - t0, 1)
     res["site_window"] = [int(s_lo), int(Ws)]
 
