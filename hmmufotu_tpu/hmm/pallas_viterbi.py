@@ -61,7 +61,8 @@ def _viterbi_kernel(scal_s, jb_s, codes_ref, meta_ref, tc_ref, em_ref,
                     *refs, n_rows: int, K: int, KP: int,
                     max_steps: int, traced: bool = False,
                     banded: bool = False,
-                    n_regions: int = MAX_REGIONS):
+                    n_regions: int = MAX_REGIONS,
+                    dchain: int = 1 << 30):
     """One program = READS_PER_PROGRAM reads, full row loop.
 
     scal_s:  scalar-prefetch [8] f32 special costs
@@ -253,14 +254,19 @@ def _viterbi_kernel(scal_s, jb_s, codes_ref, meta_ref, tc_ref, em_ref,
                > Ip[:, 0:1] + TII[:, 0:1]).astype(jnp.int32)
         choiceI = jnp.where(jabs == 0, ci0, choiceI)
 
-        # D chain x_j = min(a_j, x_{j-1} + c_j): min-plus doubling
+        # D chain x_j = min(a_j, x_{j-1} + c_j): min-plus doubling.
+        # The scan only needs to cover the longest run of consecutive
+        # allowed D cells in any row; `dchain` is a host-computed
+        # static bound on that run (sum of region widths per read,
+        # viterbi_pallas_traced_split) — banded reads need 5-6 steps
+        # instead of log2(KP).
         Mn_sh = shift_lanes(Mn, 1, INF)
         dmask = ~d_invalid & allowed
         a = jnp.where(dmask, Mn_sh + TMD_sh, INF)
         c = jnp.where(dmask, TDD_sh + jnp.zeros((R, KP), jnp.float32),
                       INF)
         s = 1
-        while s < KP:
+        while s < min(dchain, KP):
             a_sh = shift_lanes(a, s, INF)
             c_sh = shift_lanes(c, s, 0.0)
             a = jnp.minimum(a_sh + c, a)
@@ -413,11 +419,13 @@ def viterbi_pallas(dh: DeviceHMM, codes, lengths, regions,
 
 
 @partial(jax.jit,
-         static_argnames=("n_rows", "interpret", "KB", "n_regions"))
+         static_argnames=("n_rows", "interpret", "KB", "n_regions",
+                          "dchain"))
 def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
                           n_rows: int, interpret: bool = False,
                           j_base=None, KB: int | None = None,
-                          n_regions: int = MAX_REGIONS):
+                          n_regions: int = MAX_REGIONS,
+                          dchain: int = 1 << 30):
     """Pallas Viterbi + in-kernel traceback.
 
     Returns (score [B], comb [B, 8+TPS] int32): comb cols 0:8 are the
@@ -436,13 +444,32 @@ def viterbi_pallas_traced(dh: DeviceHMM, codes, lengths, regions,
     """
     score, _, _, _, emits, sb = _viterbi_pallas_full(
         dh, codes, lengths, regions, n_rows, interpret, traced=True,
-        j_base=j_base, KB=KB, n_regions=n_regions)
+        j_base=j_base, KB=KB, n_regions=n_regions, dchain=dchain)
     comb = jnp.concatenate(
         [jax.lax.bitcast_convert_type(sb, jnp.int32), emits], axis=1)
     return score, comb
 
 
 DEFAULT_BAND_LANES = 384
+
+
+def _dchain_bound(reg: np.ndarray, used: np.ndarray, K: int) -> int:
+    """Static power-of-two bound on the longest run of consecutive
+    allowed D cells in any DP row, from the region scalars: per row
+    the allowed set is a union of per-region j-intervals, so the
+    longest run <= sum of per-region max widths (diagonal regions are
+    capped by their band thickness hi_d - lo_d + 1).  Floored at 64 so
+    batch-to-batch variation reuses one compiled shape."""
+    if not used.any():
+        return 64
+    jl = np.maximum(reg[:, :, 0], 1)
+    jh = np.minimum(reg[:, :, 1], K)
+    w = np.where(used, jh - jl + 1, 0)
+    isd = (reg[:, :, 5] != 0) & used
+    wd = reg[:, :, 7] - reg[:, :, 6] + 1
+    w = np.where(isd, np.minimum(w, wd), w)
+    m = int(w.sum(axis=1).max())
+    return max(1 << max(m - 1, 1).bit_length(), 64)
 
 
 def _region_bucket(reg_used: np.ndarray) -> int:
@@ -487,7 +514,8 @@ def viterbi_pallas_traced_split(dh: DeviceHMM, codes, lengths, regions,
         # band window would not be narrower than the full profile
         return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
                                      n_rows, interpret,
-                                     n_regions=_region_bucket(used))
+                                     n_regions=_region_bucket(used),
+                                     dchain=_dchain_bound(reg, used, K))
     jlo = np.where(used, np.maximum(reg[:, :, 0], 1),
                    np.int64(1) << 40).min(axis=1)
     jhi = np.where(used, np.minimum(reg[:, :, 1], K), 0).max(axis=1)
@@ -502,13 +530,15 @@ def viterbi_pallas_traced_split(dh: DeviceHMM, codes, lengths, regions,
     if n_wide == 0:
         return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
                                      n_rows, interpret, j_base=jb,
-                                     KB=KB, n_regions=nr_all)
+                                     KB=KB, n_regions=nr_all,
+                                     dchain=_dchain_bound(reg, used, K))
     B = reg.shape[0]
     if 2 * n_wide >= B:
         # mostly wide: the split overhead isn't worth it
         return viterbi_pallas_traced(dh, codes_j, lengths_j, regions_j,
                                      n_rows, interpret,
-                                     n_regions=nr_all)
+                                     n_regions=nr_all,
+                                     dchain=_dchain_bound(reg, used, K))
     # pad the wide row set to a power-of-two bucket (>= wide_floor) so
     # batch-to-batch variation reuses one compiled shape
     Bw = max(wide_floor, 1 << (n_wide - 1).bit_length())
@@ -518,27 +548,32 @@ def viterbi_pallas_traced_split(dh: DeviceHMM, codes, lengths, regions,
     wvalid = np.zeros(Bw, bool)
     wvalid[:n_wide] = True
     nr_w = _region_bucket(used[widx[:n_wide]])
+    narrow = ~wide & ~none_used
+    dc_n = _dchain_bound(reg[narrow], used[narrow], K)
+    dc_w = _dchain_bound(reg[widx[:n_wide]], used[widx[:n_wide]], K)
     return _viterbi_split_jit(dh, codes_j, lengths_j, regions_j, jb,
                               jnp.asarray(widx), jnp.asarray(wvalid),
-                              n_rows, KB, interpret, nr_all, nr_w)
+                              n_rows, KB, interpret, nr_all, nr_w,
+                              dc_n, dc_w)
 
 
 @partial(jax.jit, static_argnames=("n_rows", "KB", "interpret",
-                                   "nr_n", "nr_w"))
+                                   "nr_n", "nr_w", "dc_n", "dc_w"))
 def _viterbi_split_jit(dh: DeviceHMM, codes, lengths, regions, jb,
                        widx, wvalid, n_rows: int, KB: int,
                        interpret: bool = False,
                        nr_n: int = MAX_REGIONS,
-                       nr_w: int = MAX_REGIONS):
+                       nr_w: int = MAX_REGIONS,
+                       dc_n: int = 1 << 30, dc_w: int = 1 << 30):
     """Narrow band launch over the whole batch + full-width launch
     over the gathered wide rows, scattered back — one jit, one
     downloadable (score, comb) pair."""
     score_n, comb_n = viterbi_pallas_traced(
         dh, codes, lengths, regions, n_rows, interpret, j_base=jb,
-        KB=KB, n_regions=nr_n)
+        KB=KB, n_regions=nr_n, dchain=dc_n)
     score_w, comb_w = viterbi_pallas_traced(
         dh, codes[widx], lengths[widx], regions[widx], n_rows,
-        interpret, n_regions=nr_w)
+        interpret, n_regions=nr_w, dchain=dc_w)
     Tn, Tw = comb_n.shape[1], comb_w.shape[1]
     if Tw > Tn:
         comb_n = jnp.concatenate(
@@ -558,7 +593,8 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
                          n_rows: int, interpret: bool = False,
                          traced: bool = False,
                          j_base=None, KB: int | None = None,
-                         n_regions: int = MAX_REGIONS):
+                         n_regions: int = MAX_REGIONS,
+                         dchain: int = 1 << 30):
     B0 = codes.shape[0]
     K = dh.K
     KPF = _round_up(K + 2, 128)      # full padded profile width
@@ -662,7 +698,8 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         best, emits = pl.pallas_call(
             partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
                     max_steps=max_steps, traced=True,
-                    banded=banded, n_regions=n_regions),
+                    banded=banded, n_regions=n_regions,
+                    dchain=dchain),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((B, 128), jnp.float32),
@@ -686,7 +723,7 @@ def _viterbi_pallas_full(dh: DeviceHMM, codes, lengths, regions,
         packed, best, emits = pl.pallas_call(
             partial(_viterbi_kernel, n_rows=n_rows, K=K, KP=KP,
                     max_steps=max_steps, banded=banded,
-                    n_regions=n_regions),
+                    n_regions=n_regions, dchain=dchain),
             grid_spec=grid_spec,
             out_shape=[
                 jax.ShapeDtypeStruct((G, B, KP), jnp.int32),

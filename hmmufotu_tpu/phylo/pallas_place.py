@@ -42,7 +42,15 @@ from jax.experimental.pallas import tpu as pltpu
 from .tree import BRANCH_EPS, MAX_ITER
 
 INF = jnp.inf
-LANES_PER_PROGRAM = 8
+# candidate lanes per optimize-kernel program.  The kernel is grid/DMA
+# latency bound (~98% of lanes are dead after the estimate filter, so
+# per-program compute is small); wider blocks amortize the per-program
+# overhead at the cost of coupling more lanes per convergence loop.
+import os as _os
+LANES_PER_PROGRAM = int(_os.environ.get("HMMUFOTU_SEP_LANES", "8"))
+if LANES_PER_PROGRAM <= 0 or LANES_PER_PROGRAM % 8:
+    raise ValueError("HMMUFOTU_SEP_LANES must be a positive multiple "
+                     f"of 8 (got {LANES_PER_PROGRAM})")
 N_MODEL_SCALARS = 64
 # model_s layout: [0:16] U row-major, [16:32] U^-1 row-major,
 # [32:36] lam, [36:40] log_pi, [40:48] dGamma rates
@@ -144,7 +152,7 @@ def _sep_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
     def fp(Rm, Xm, w_cur, max_len, skip):
         """Single-branch Felsenstein fixed point on this lane block
         (placement._fixed_point_branch semantics, reference
-        PhyloTreeUnrooted.cpp:749-798)."""
+        PhyloTreeUnrooted.cpp:749-798).  Returns (w, trip_count)."""
         logA = dot_vec([Rm[k] + Xm[k] for k in range(4)])
         logB = dot_vec(Rm) + dot_vec(Xm)
         ok = mask & jnp.logical_not((logA != logA) | (logB != logB))
@@ -178,58 +186,75 @@ def _sep_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
                     jnp.sum(jnp.where(new_done, 0, 1)),
                     new_done.astype(jnp.int32))
 
-        p_fin, _, _, _ = jax.lax.while_loop(
+        p_fin, trips, _, _ = jax.lax.while_loop(
             cond, body,
             (p0, jnp.int32(0), jnp.sum(jnp.where(skip, 0, 1)),
              skip.astype(jnp.int32)))
-        return jnp.minimum(-jnp.log1p(-p_fin), max_len)
+        return jnp.minimum(-jnp.log1p(-p_fin), max_len), trips
 
     ones = jnp.ones_like(wnr0)
 
-    def ocond(state):
-        wur, wvr, wnr, it, n_live, done_i = state
-        return jnp.logical_and(it < MAX_ITER, n_live > 0)
+    # ~98% of candidate lanes are dead after the estimate filter
+    # (skip0 set), and lanes cluster so most PROGRAMS are all-dead;
+    # gate the whole optimization + final-loglik epilogue on having
+    # any live lane — dead programs only zero their output block
+    # (measured: the unconditional epilogue alone was ~60% of this
+    # kernel's 29 ms/1024-batch on v5e)
+    out_ref[:, :] = jnp.zeros((R, 128), jnp.float32)
 
-    def obody(state):
-        wur, wvr, wnr, it, n_live, done_i = state
-        done = done_i > 0
-        Rn = conv_mix([(Um, wur), (Vm, wvr)])
-        wnr_n = fp(Rn, Nm, wnr, ones, done)
-        Ru = conv_mix([(Vm, wvr), (Nm, wnr_n)])
-        wur_n = fp(Ru, Um, wur, w0, done)
-        wvr_n = w0 - wur_n
-        convd = (jnp.abs(wur_n - wur) < BRANCH_EPS) \
-            & (jnp.abs(wnr_n - wnr) < BRANCH_EPS)
-        bad = jnp.logical_not((wur_n >= 0) & (wur_n <= w0))
-        new_done = done | convd | bad
-        return (jnp.where(done, wur, wur_n),
-                jnp.where(done, wvr, wvr_n),
-                jnp.where(done, wnr, wnr_n),
-                it + 1, jnp.sum(jnp.where(new_done, 0, 1)),
-                new_done.astype(jnp.int32))
+    @pl.when(jnp.sum(jnp.where(skip0, 0, 1)) > 0)
+    def _run():
+        def ocond(state):
+            wur, wvr, wnr, it, n_live, done_i, inner = state
+            return jnp.logical_and(it < MAX_ITER, n_live > 0)
 
-    wur_f, wvr_f, wnr_f, _, _, _ = jax.lax.while_loop(
-        ocond, obody,
-        (wur0, w0 - wur0, wnr0, jnp.int32(0),
-         jnp.sum(jnp.where(skip0, 0, 1)), skip0.astype(jnp.int32)))
+        def obody(state):
+            wur, wvr, wnr, it, n_live, done_i, inner = state
+            done = done_i > 0
+            Rn = conv_mix([(Um, wur), (Vm, wvr)])
+            wnr_n, t1 = fp(Rn, Nm, wnr, ones, done)
+            Ru = conv_mix([(Vm, wvr), (Nm, wnr_n)])
+            wur_n, t2 = fp(Ru, Um, wur, w0, done)
+            wvr_n = w0 - wur_n
+            convd = (jnp.abs(wur_n - wur) < BRANCH_EPS) \
+                & (jnp.abs(wnr_n - wnr) < BRANCH_EPS)
+            bad = jnp.logical_not((wur_n >= 0) & (wur_n <= w0))
+            new_done = done | convd | bad
+            return (jnp.where(done, wur, wur_n),
+                    jnp.where(done, wvr, wvr_n),
+                    jnp.where(done, wnr, wnr_n),
+                    it + 1, jnp.sum(jnp.where(new_done, 0, 1)),
+                    new_done.astype(jnp.int32), inner + t1 + t2)
 
-    root = conv_mix([(Um, wur_f), (Vm, wvr_f), (Nm, wnr_f)])
-    cols = dot_vec(root)
-    ll = jnp.sum(jnp.where(mask, cols, 0.0), axis=1, keepdims=True)
+        wur_f, wvr_f, wnr_f, o_trips, _, _, i_trips = \
+            jax.lax.while_loop(
+                ocond, obody,
+                (wur0, w0 - wur0, wnr0, jnp.int32(0),
+                 jnp.sum(jnp.where(skip0, 0, 1)),
+                 skip0.astype(jnp.int32), jnp.int32(0)))
 
-    out_ref[:, :] = jnp.concatenate(
-        [wur_f, wvr_f, wnr_f, ll,
-         jnp.zeros((R, 124), jnp.float32)], axis=1)
+        root = conv_mix([(Um, wur_f), (Vm, wvr_f), (Nm, wnr_f)])
+        cols = dot_vec(root)
+        ll = jnp.sum(jnp.where(mask, cols, 0.0), axis=1, keepdims=True)
+
+        trips = jnp.full((R, 1), o_trips, jnp.float32)
+        itr = jnp.full((R, 1), i_trips, jnp.float32)
+        out_ref[:, :] = jnp.concatenate(
+            [wur_f, wvr_f, wnr_f, ll, trips, itr,
+             jnp.zeros((R, 122), jnp.float32)], axis=1)
 
 
 def sep_optimize_pallas(U, V, Nl, site_ok, w0, wur0, wnr0, live,
                         Um, U_1, lam, log_pi, rates, n_rates: int,
-                        interpret: bool = False):
+                        interpret: bool = False,
+                        return_trips: bool = False):
     """Fused joint 3-branch optimization over a [B, C] candidate grid.
 
     U/V/Nl [B, C, 4, W] f32 message windows; site_ok [B, C, W] bool;
     w0/wur0/wnr0/live [B, C].  Returns (wur, wvr, wnr, loglik) each
     [B, C]; loglik is raw (caller applies the live mask).
+    return_trips: also return (outer, inner) while-loop trip counts
+    per PROGRAM (each covers LANES_PER_PROGRAM lanes) for profiling.
     """
     B, C, _, W = U.shape
     M = B * C
@@ -290,6 +315,8 @@ def sep_optimize_pallas(U, V, Nl, site_ok, w0, wur0, wnr0, live,
     def col(i):
         return out[:M, i].reshape(B, C)
 
+    if return_trips:
+        return (col(0), col(1), col(2), col(3), col(4), col(5))
     return col(0), col(1), col(2), col(3)
 
 

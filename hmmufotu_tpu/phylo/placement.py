@@ -34,6 +34,8 @@ import numpy as np
 from .tree import BRANCH_EPS, MAX_ITER, PTUnrooted
 
 INF = jnp.inf
+import os as _os
+SEED_I8 = _os.environ.get("HMMUFOTU_SEED_I8", "1") != "0"
 
 
 class DeviceTree(NamedTuple):
@@ -320,7 +322,7 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len,
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
                                    "L", "height_prior", "ml_only",
                                    "fp_pallas", "sep_pallas", "opt_k",
-                                   "Ws", "est_kernel"))
+                                   "Ws", "est_kernel", "debug_trips"))
 def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
@@ -331,7 +333,8 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        sep_pallas: bool = False,
                        eig=None, node_lo=None, opt_k: int | None = None,
                        s0=None, Ws: int | None = None,
-                       est_kernel: bool = True):
+                       est_kernel: bool = True,
+                       debug_trips: bool = False):
     """Full SEP placement of a read batch.
 
     seq_win: [B, W] int8 aligned digital reads, pre-sliced to the
@@ -379,30 +382,48 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     # mismatch counting via int8 one-hot matmuls: the [B,Ws]x[N,Ws]
     # reduction rides the MXU's s8xs8->s32 path (exact integer counts,
     # identical to the f32 form) and never materializes an f32 one-hot
-    # of the full node matrix — 4x less HBM at reference tree scale
+    # of the full node matrix — 4x less HBM at reference tree scale.
+    # HMMUFOTU_SEED_I8=0 switches back to the f32 einsum form (A/B).
     i8 = jnp.int8
+    f = dt.pi.dtype
     base4 = jnp.arange(4, dtype=i8)
-    q1h8 = ((seqs_w[:, :, None] == base4)
-            & q_valid[:, :, None]).astype(i8)           # [B, Ws, 4]
-    if dt.seq1h is not None:
-        n1h8 = dt.seq1h                                 # [N, Ws*4]
-        nv8 = dt.nvalid                                 # [N, Ws]
+    if SEED_I8 or dt.seq1h is not None:
+        q1h8 = ((seqs_w[:, :, None] == base4)
+                & q_valid[:, :, None]).astype(i8)       # [B, Ws, 4]
+        if dt.seq1h is not None:
+            n1h8 = dt.seq1h                             # [N, Ws*4]
+            nv8 = dt.nvalid                             # [N, Ws]
+        else:
+            nseqs_w = jax.lax.dynamic_slice(
+                dt.seqs, (0, s0 - dt.msg_s0), (N, Ws))
+            n1h8 = ((nseqs_w[:, :, None] == base4)
+                    .astype(i8).reshape(N, Ws * 4))
+            nv8 = (nseqs_w >= 0).astype(i8)
+        dim = (((1,), (1,)), ((), ()))
+        match = jax.lax.dot_general(q1h8.reshape(B, Ws * 4), n1h8,
+                                    dim,
+                                    preferred_element_type=jnp.int32)
+        both = jax.lax.dot_general(q_valid.astype(i8), nv8, dim,
+                                   preferred_element_type=jnp.int32)
+        dist = jnp.where(both > 0,
+                         (both - match).astype(f)
+                         / jnp.maximum(both, 1).astype(f),
+                         jnp.nan)                       # [B, N]
     else:
         nseqs_w = jax.lax.dynamic_slice(
             dt.seqs, (0, s0 - dt.msg_s0), (N, Ws))
-        n1h8 = ((nseqs_w[:, :, None] == base4)
-                .astype(i8).reshape(N, Ws * 4))
-        nv8 = (nseqs_w >= 0).astype(i8)
-    dim = (((1,), (1,)), ((), ()))
-    match = jax.lax.dot_general(q1h8.reshape(B, Ws * 4), n1h8, dim,
-                                preferred_element_type=jnp.int32)
-    both = jax.lax.dot_general(q_valid.astype(i8), nv8, dim,
-                               preferred_element_type=jnp.int32)
-    f = dt.pi.dtype
-    dist = jnp.where(both > 0,
-                     (both - match).astype(f)
-                     / jnp.maximum(both, 1).astype(f),
-                     jnp.nan)                           # [B, N]
+        n_valid = nseqs_w >= 0
+        q1h = jax.nn.one_hot(jnp.where(q_valid, seqs_w, 4), 5,
+                             dtype=f)[:, :, :4]         # [B, Ws, 4]
+        n1h = jax.nn.one_hot(jnp.where(n_valid, nseqs_w, 4), 5,
+                             dtype=f)[:, :, :4]         # [N, Ws, 4]
+        match = jnp.einsum("blk,nlk->bn", q1h, n1h,
+                           precision=jax.lax.Precision.HIGHEST)
+        both = jnp.einsum("bl,nl->bn", q1h.sum(-1), n1h.sum(-1),
+                          precision=jax.lax.Precision.HIGHEST)
+        dist = jnp.where(both > 0,
+                         (both - match) / jnp.maximum(both, 1),
+                         jnp.nan)                       # [B, N]
 
     eligible = (dt.parent >= 0) & (dt.heights <= max_height)
     if node_lo is not None:
@@ -523,14 +544,20 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
         # XLA while_loop below issues 10s of kernels per iteration,
         # which is dispatch-bound on a remote-tunneled TPU
         from .pallas_place import sep_optimize_pallas
-        wur_f, wvr_f, wnr_f, ll = sep_optimize_pallas(
+        res = sep_optimize_pallas(
             U, V, Nl, site_ok_c, w0, wur0, wnr0, live,
             eig[0], eig[1], eig[2], dt.log_pi, dt.rates, n_rates,
-            interpret=jax.default_backend() != "tpu")
+            interpret=jax.default_backend() != "tpu",
+            return_trips=debug_trips)
+        wur_f, wvr_f, wnr_f, ll = res[:4]
         loglik = jnp.where(live, ll, -INF)
-        return _finish_placement(
+        out = _finish_placement(
             dt, cand, c_dist, live, w0, wur_f, wvr_f, wnr_f, loglik,
             est_loglik_k, max_height, height_prior, ml_only)
+        if debug_trips:
+            out["sep_trips"] = jnp.stack(res[4:6], axis=-1)
+            out["sep_live"] = live
+        return out
 
     def outer_cond(state):
         wur, wvr, wnr, wur_p, wnr_p, it, done = state

@@ -73,7 +73,7 @@ def main(argv=None):
     ap = argparse.ArgumentParser()
     ap.add_argument("--stage", action="append", default=[],
                     choices=["dp", "dp-full", "dp-dl", "dp-loop",
-                             "place", "place-prof"])
+                             "place", "place-prof", "sep-trips"])
     ap.add_argument("--batch", type=int, default=1024)
     ap.add_argument("--window", type=int, default=512)
     ap.add_argument("--iters", type=int, default=6,
@@ -143,7 +143,7 @@ def main(argv=None):
                   f" comb_sum {int(comb_h.sum()) & 0xFFFFFFFF:08x}",
                   flush=True)
 
-    if "place" in stages or "place-prof" in stages:
+    if {"place", "place-prof", "sep-trips"} & set(stages):
         alns = aligner.finalize_batch(handle)
 
     if "place" in stages:
@@ -158,6 +158,34 @@ def main(argv=None):
             run_place()
             print(f"place_estk{int(est)}_s {timed(run_place):.4f}",
                   flush=True)
+
+    if "sep-trips" in stages:
+        import math as _m
+        import jax.numpy as jnp
+        from hmmufotu_tpu.phylo.placement import place_batch_device
+        placer = DevicePlacer(tree, window=args.window)
+        seqs, starts, ends, valid = _aln_windows(tree, placer, alns)
+        ends = np.minimum(ends, starts + placer.W - 1)
+        s0, Ws = placer.union_window(starts)
+        out = place_batch_device(
+            placer.dt, jnp.asarray(seqs, jnp.int8),
+            jnp.asarray(starts, jnp.int32), jnp.asarray(ends, jnp.int32),
+            placer.pr_fn, _m.inf, _m.inf, 20.0, placer.W, placer.C,
+            placer.n_rates, tree.cs_len, False, False,
+            placer.fp_pallas, True, placer.eig,
+            s0=jnp.asarray(s0, jnp.int32), Ws=Ws, debug_trips=True)
+        trips = np.asarray(out["sep_trips"])     # [B, C, 2] per-program
+        live = np.asarray(out["sep_live"])
+        prog = trips.reshape(-1, 2)[::8]   # one entry per program
+        o, i = prog[:, 0], prog[:, 1]
+        print(f"programs {len(o)} live_lanes "
+              f"{live.sum()}/{live.size}")
+        print(f"outer trips: mean {o.mean():.1f} p50 "
+              f"{np.percentile(o, 50):.0f} p90 {np.percentile(o, 90):.0f}"
+              f" max {o.max():.0f}")
+        print(f"inner trips: mean {i.mean():.1f} p50 "
+              f"{np.percentile(i, 50):.0f} p90 {np.percentile(i, 90):.0f}"
+              f" max {i.max():.0f} total {i.sum():.0f}")
 
     if "place-prof" in stages:
         placer = DevicePlacer(tree, window=args.window)
