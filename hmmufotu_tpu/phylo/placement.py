@@ -35,7 +35,13 @@ from .tree import BRANCH_EPS, MAX_ITER, PTUnrooted
 
 INF = jnp.inf
 import os as _os
-SEED_I8 = _os.environ.get("HMMUFOTU_SEED_I8", "1") != "0"
+# seed p-dist matmul path: "auto" uses the s8xs8->s32 MXU form for
+# reference-scale node counts (where the f32 one-hot of [N, Ws, 4]
+# would be GBs of HBM) and the plain f32 einsum for small fixtures
+# (measured ~7% faster there — the int8 one-hot build overhead
+# outweighs the tiny matmul); "1"/"0" force one path
+SEED_I8 = _os.environ.get("HMMUFOTU_SEED_I8", "auto")
+SEED_I8_MIN_NODES = 4096
 
 
 class DeviceTree(NamedTuple):
@@ -387,7 +393,9 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     i8 = jnp.int8
     f = dt.pi.dtype
     base4 = jnp.arange(4, dtype=i8)
-    if SEED_I8 or dt.seq1h is not None:
+    use_i8 = (dt.seq1h is not None or SEED_I8 == "1"
+              or (SEED_I8 == "auto" and N >= SEED_I8_MIN_NODES))
+    if use_i8:
         q1h8 = ((seqs_w[:, :, None] == base4)
                 & q_valid[:, :, None]).astype(i8)       # [B, Ws, 4]
         if dt.seq1h is not None:
