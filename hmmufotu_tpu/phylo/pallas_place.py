@@ -244,18 +244,11 @@ def _sep_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
              jnp.zeros((R, 122), jnp.float32)], axis=1)
 
 
-def sep_optimize_pallas(U, V, Nl, site_ok, w0, wur0, wnr0, live,
-                        Um, U_1, lam, log_pi, rates, n_rates: int,
-                        interpret: bool = False,
-                        return_trips: bool = False):
-    """Fused joint 3-branch optimization over a [B, C] candidate grid.
-
-    U/V/Nl [B, C, 4, W] f32 message windows; site_ok [B, C, W] bool;
-    w0/wur0/wnr0/live [B, C].  Returns (wur, wvr, wnr, loglik) each
-    [B, C]; loglik is raw (caller applies the live mask).
-    return_trips: also return (outer, inner) while-loop trip counts
-    per PROGRAM (each covers LANES_PER_PROGRAM lanes) for profiling.
-    """
+def pad_msgs(U, V, Nl, site_ok):
+    """Pad/transpose [B, C, 4, W] message windows + [B, C, W] mask
+    into the kernels' [4, Mp, Wp] / [Mp, Wp] layouts.  Shared between
+    est_pallas and sep_optimize_pallas via the `padded=` argument so
+    the (HBM-doubling) copies happen once per batch (ADVICE r3 #5)."""
     B, C, _, W = U.shape
     M = B * C
     R = LANES_PER_PROGRAM
@@ -268,9 +261,71 @@ def sep_optimize_pallas(U, V, Nl, site_ok, w0, wur0, wnr0, live,
         out = jnp.zeros((4, Mp, Wp), f32)
         return out.at[:, :M, :W].set(Xt.astype(f32))
 
-    Up, Vp, Np = pad_msg(U), pad_msg(V), pad_msg(Nl)
     maskp = jnp.zeros((Mp, Wp), f32).at[:M, :W].set(
         site_ok.reshape(M, W).astype(f32))
+    return pad_msg(U), pad_msg(V), pad_msg(Nl), maskp
+
+
+def take_padded(padded, order, C: int):
+    """Compact padded [4, Mp, Wp] lanes (and the [Mp, Wp] mask) to a
+    new candidate order: order [B, k] of per-read candidate ranks ->
+    flat lane gather, re-padded to the program multiple.  Replaces a
+    fresh transpose+pad of the gathered [B, k, 4, W] grids."""
+    Up, Vp, Np, maskp = padded
+    B, k = order.shape
+    R = LANES_PER_PROGRAM
+    M = B * k
+    Mp = _round_up(max(M, R), R)
+    flat = (jnp.arange(B, dtype=order.dtype)[:, None] * C
+            + order).reshape(-1)                  # [B*k]
+    flat = jnp.concatenate(
+        [flat, jnp.zeros(Mp - M, flat.dtype)]) if Mp != M else flat
+
+    def gather(X):
+        out = jnp.take(X, flat, axis=X.ndim - 2)
+        if Mp != M:
+            # zero the padding lanes (gathered lane 0 copies)
+            sl = (slice(None),) * (X.ndim - 2)
+            mask = (jnp.arange(Mp) < M)
+            shape = (1,) * (X.ndim - 2) + (Mp, 1)
+            out = out * mask.reshape(shape)
+        return out
+
+    return gather(Up), gather(Vp), gather(Np), gather(maskp)
+
+
+def sep_optimize_pallas(U, V, Nl, site_ok, w0, wur0, wnr0, live,
+                        Um, U_1, lam, log_pi, rates, n_rates: int,
+                        interpret: bool = False,
+                        return_trips: bool = False,
+                        padded=None, shape=None):
+    """Fused joint 3-branch optimization over a [B, C] candidate grid.
+
+    U/V/Nl [B, C, 4, W] f32 message windows; site_ok [B, C, W] bool;
+    w0/wur0/wnr0/live [B, C].  Returns (wur, wvr, wnr, loglik) each
+    [B, C]; loglik is raw (caller applies the live mask).
+    return_trips: also return (outer, inner) while-loop trip counts
+    per PROGRAM (each covers LANES_PER_PROGRAM lanes) for profiling.
+    padded=(Up, Vp, Np, maskp) with shape=(B, C, W): kernel-layout
+    inputs already built (pad_msgs/take_padded) — U/V/Nl/site_ok are
+    ignored then.
+    """
+    if padded is not None:
+        B, C, W = shape
+        Up, Vp, Np, maskp = padded
+        M = B * C
+        R = LANES_PER_PROGRAM
+        Mp = Up.shape[1]
+        Wp = Up.shape[2]
+        f32 = jnp.float32
+    else:
+        B, C, _, W = U.shape
+        M = B * C
+        R = LANES_PER_PROGRAM
+        Mp = _round_up(max(M, R), R)
+        Wp = _round_up(W, 128)
+        f32 = jnp.float32
+        Up, Vp, Np, maskp = pad_msgs(U, V, Nl, site_ok)
     scal = jnp.zeros((Mp, 128), f32)
     scal = scal.at[:M, 0].set(w0.reshape(-1).astype(f32))
     scal = scal.at[:M, 1].set(wur0.reshape(-1).astype(f32))
@@ -370,28 +425,30 @@ def _est_kernel(model_s, scal_ref, U_ref, V_ref, N_ref, mask_ref,
 
 
 def est_pallas(U, V, Nl, site_ok, wur0, wvr0, Um, U_1, lam, log_pi,
-               interpret: bool = False):
+               interpret: bool = False, padded=None, shape=None):
     """Fused estimate over a [B, C] candidate grid.
 
     U/V/Nl [B, C, 4, W] f32 message windows; site_ok [B, C, W];
     wur0/wvr0 [B, C].  Returns (est_loglik [B, C], wnr0 [B, C]) —
     the same values as the XLA estimate block up to f32 reduce order.
+    padded/shape: pre-built kernel-layout inputs (see
+    sep_optimize_pallas).
     """
-    B, C, _, W = U.shape
-    M = B * C
-    R = LANES_PER_PROGRAM
-    Mp = _round_up(max(M, R), R)
-    Wp = _round_up(W, 128)
-    f32 = jnp.float32
-
-    def pad_msg(X):
-        Xt = jnp.transpose(X.reshape(M, 4, W), (1, 0, 2))
-        out = jnp.zeros((4, Mp, Wp), f32)
-        return out.at[:, :M, :W].set(Xt.astype(f32))
-
-    Up, Vp, Np = pad_msg(U), pad_msg(V), pad_msg(Nl)
-    maskp = jnp.zeros((Mp, Wp), f32).at[:M, :W].set(
-        site_ok.reshape(M, W).astype(f32))
+    if padded is not None:
+        B, C, W = shape
+        Up, Vp, Np, maskp = padded
+        M = B * C
+        R = LANES_PER_PROGRAM
+        Mp, Wp = Up.shape[1], Up.shape[2]
+        f32 = jnp.float32
+    else:
+        B, C, _, W = U.shape
+        M = B * C
+        R = LANES_PER_PROGRAM
+        Mp = _round_up(max(M, R), R)
+        Wp = _round_up(W, 128)
+        f32 = jnp.float32
+        Up, Vp, Np, maskp = pad_msgs(U, V, Nl, site_ok)
     scal = jnp.zeros((Mp, 128), f32)
     scal = scal.at[:M, 0].set(wur0.reshape(-1).astype(f32))
     scal = scal.at[:M, 1].set(wvr0.reshape(-1).astype(f32))

@@ -489,14 +489,20 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     ratio0 = jnp.where(jnp.isnan(ratio0), 0.5, ratio0)
     wur0 = w0 * ratio0
     wvr0 = w0 - wur0
+    padded = None
     if sep_pallas and est_kernel:
         # fused estimate kernel: the [B, C, 4, W] exp/log chains stay
         # in VMEM (the XLA form materializes ~20 full-size temps
-        # between fusion breaks at the scale reductions)
-        from .pallas_place import est_pallas
+        # between fusion breaks at the scale reductions).  The padded
+        # kernel-layout copies are built ONCE and shared with the
+        # optimize kernel below (ADVICE r3 #5: the duplicate
+        # transposes roughly doubled the message tensors' peak HBM).
+        from .pallas_place import est_pallas, pad_msgs
+        padded = pad_msgs(U, V, Nl, site_ok_c)
         est_loglik, wnr0 = est_pallas(
-            U, V, Nl, site_ok_c, wur0, wvr0, eig[0], eig[1], eig[2],
-            dt.log_pi, interpret=jax.default_backend() != "tpu")
+            None, None, None, None, wur0, wvr0, eig[0], eig[1], eig[2],
+            dt.log_pi, interpret=jax.default_backend() != "tpu",
+            padded=padded, shape=(B, C, W))
     else:
         UPr = _dot_scaled(Pr_fn(wur0), U)
         VPr = _dot_scaled(Pr_fn(wvr0), V)
@@ -533,10 +539,12 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
         return jnp.take_along_axis(
             x, order.reshape(order.shape + extra), axis=1)
 
-    U = take_c(U)
-    V = take_c(V)
-    Nl = take_c(Nl)
-    site_ok_c = take_c(site_ok_c)
+    if padded is None or not sep_pallas:
+        # XLA optimize path consumes the [B, C, 4, W] grids directly
+        U = take_c(U)
+        V = take_c(V)
+        Nl = take_c(Nl)
+        site_ok_c = take_c(site_ok_c)
     cand = take_c(cand)
     c_dist = take_c(c_dist)
     w0 = take_c(w0)
@@ -551,12 +559,19 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
         # entire convergence loop fused into ONE Pallas kernel — the
         # XLA while_loop below issues 10s of kernels per iteration,
         # which is dispatch-bound on a remote-tunneled TPU
-        from .pallas_place import sep_optimize_pallas
+        from .pallas_place import sep_optimize_pallas, take_padded
+        if padded is not None:
+            padded_k = take_padded(padded, order, C)
+            U_k = V_k = Nl_k = ok_k = None
+        else:
+            padded_k = None
+            U_k, V_k, Nl_k, ok_k = U, V, Nl, site_ok_c
         res = sep_optimize_pallas(
-            U, V, Nl, site_ok_c, w0, wur0, wnr0, live,
+            U_k, V_k, Nl_k, ok_k, w0, wur0, wnr0, live,
             eig[0], eig[1], eig[2], dt.log_pi, dt.rates, n_rates,
             interpret=jax.default_backend() != "tpu",
-            return_trips=debug_trips)
+            return_trips=debug_trips,
+            padded=padded_k, shape=(B, opt_k, W))
         wur_f, wvr_f, wnr_f, ll = res[:4]
         loglik = jnp.where(live, ll, -INF)
         out = _finish_placement(

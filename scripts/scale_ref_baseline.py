@@ -96,6 +96,9 @@ def main(argv=None):
 
     t0 = time.perf_counter()
     tree.evaluate(dtype=np.float32, engine="jax", budget_bytes=4 << 30)
+    # ancestral seqs so the reference's getSeed sees internal nodes
+    # too (hmmufotu-build runs inferSeq, hmmufotu-build.cpp:466)
+    tree.infer_seq()
     res["t_eval_s"] = round(time.perf_counter() - t0, 1)
 
     t0 = time.perf_counter()
