@@ -469,7 +469,13 @@ def _dchain_bound(reg: np.ndarray, used: np.ndarray, K: int) -> int:
     wd = reg[:, :, 7] - reg[:, :, 6] + 1
     w = np.where(isd, np.minimum(w, wd), w)
     m = int(w.sum(axis=1).max())
-    return max(1 << max(m - 1, 1).bit_length(), 64)
+    # COARSE buckets: every distinct value is a separate 2-8 min jit
+    # specialization through the axon remote compiler, and a finer
+    # bucket saves at most one extra scan step
+    for b in (64, 256, 1024):
+        if m <= b:
+            return b
+    return 1 << 30
 
 
 def _region_bucket(reg_used: np.ndarray) -> int:
