@@ -456,3 +456,23 @@ class TestNativeSAIS:
         np.testing.assert_array_equal(
             sais(s.astype(np.int32) + 1, 4).astype(np.int64),
             _suffix_array_doubling(s))
+
+
+def test_dchain_bound_buckets():
+    """_dchain_bound: sum of per-region widths (diag regions capped by
+    band thickness), coarse power-of-two buckets, floor 64."""
+    from hmmufotu_tpu.hmm.pallas_viterbi import _dchain_bound
+    K = 1285
+    # cols: j_lo j_hi i_lo i_hi ent diag lo_d hi_d
+    reg = np.zeros((2, 3, 8), np.int64)
+    used = np.zeros((2, 3), bool)
+    # read 0: one 40-wide rect + one diag region rect 200 but band 21
+    reg[0, 0] = (10, 49, 1, 50, 1, 0, 0, 0)
+    reg[0, 1] = (50, 249, 5, 60, 0, 1, -10, 10)
+    used[0, :2] = True
+    # read 1: a full-width rect (unseeded fallback)
+    reg[1, 0] = (1, K, 1, 250, 1, 0, 0, 0)
+    used[1, 0] = True
+    assert _dchain_bound(reg[:1], used[:1], K) == 64      # 40+21=61
+    assert _dchain_bound(reg, used, K) == 1 << 30         # full row
+    assert _dchain_bound(reg[:0], used[:0], K) == 64      # empty
