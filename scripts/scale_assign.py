@@ -98,6 +98,8 @@ def main(argv=None):
     ap.add_argument("--cache", default="",
                     help="dir to cache the evaluated message window "
                          "(skips the ~30 min host evaluate on reruns)")
+    ap.add_argument("--eval-only", action="store_true",
+                    help="internal: evaluate + write the cache, exit")
     args = ap.parse_args(argv)
 
     import jax
@@ -136,6 +138,25 @@ def main(argv=None):
             f"msgs_{args.leaves}_{args.length}_{args.seed}_"
             f"{args.model}_{s_lo}_{Ws}.npz")
     t0 = time.perf_counter()
+    if cache and not os.path.exists(cache) and not args.eval_only:
+        # evaluate in a CPU-scrubbed SUBPROCESS: inside this (TPU)
+        # process the jitted evaluate chunks would compile and run
+        # through the axon remote backend — minutes of compiles and
+        # ms-scale per-chunk dispatch (measured 1682 s vs ~150 s on
+        # the host CPU for the same window)
+        import subprocess
+        env = {k: v for k, v in os.environ.items()
+               if k not in ("PALLAS_AXON_POOL_IPS",
+                            "_JAX_PLATFORMS_PINNED")}
+        env["JAX_PLATFORMS"] = "cpu"
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--eval-only",
+             "--leaves", str(args.leaves), "--length", str(args.length),
+             "--seed", str(args.seed), "--model", args.model,
+             "--span", str(args.span), "--window", str(args.window),
+             "--cache", args.cache], env=env)
+        if r.returncode:
+            return r.returncode
     if cache and os.path.exists(cache):
         z = np.load(cache)
         tree.msg_up = np.zeros((tree.num_nodes, 4, L), np.float32)
@@ -152,6 +173,9 @@ def main(argv=None):
                      down=tree.msg_down[:, :, s_lo:s_lo + Ws])
     res["t_eval_s"] = round(time.perf_counter() - t0, 1)
     res["site_window"] = [int(s_lo), int(Ws)]
+    if args.eval_only:
+        print(json.dumps({"eval_only": True, **res}))
+        return 0
 
     # ---- reads ----------------------------------------------------------
     t0 = time.perf_counter()
