@@ -396,23 +396,30 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     use_i8 = (dt.seq1h is not None or SEED_I8 == "1"
               or (SEED_I8 == "auto" and N >= SEED_I8_MIN_NODES))
     if use_i8:
+        # operands as bf16 with f32 accumulation: counts are sums of
+        # 0/1 products (< 2^24), so the result is EXACT, and the
+        # bf16 MXU path is ~4x the f32 one the int8 operands were
+        # silently upcast to (profiled: the s8 dot at [1024]x[150k]
+        # ran ~27 ms; bf16 runs it at MXU bf16 rate)
+        bf = jnp.bfloat16
         q1h8 = ((seqs_w[:, :, None] == base4)
-                & q_valid[:, :, None]).astype(i8)       # [B, Ws, 4]
+                & q_valid[:, :, None]).astype(bf)       # [B, Ws, 4]
         if dt.seq1h is not None:
-            n1h8 = dt.seq1h                             # [N, Ws*4]
-            nv8 = dt.nvalid                             # [N, Ws]
+            n1h8 = dt.seq1h.astype(bf)                  # [N, Ws*4]
+            nv8 = dt.nvalid.astype(bf)                  # [N, Ws]
         else:
             nseqs_w = jax.lax.dynamic_slice(
                 dt.seqs, (0, s0 - dt.msg_s0), (N, Ws))
             n1h8 = ((nseqs_w[:, :, None] == base4)
-                    .astype(i8).reshape(N, Ws * 4))
-            nv8 = (nseqs_w >= 0).astype(i8)
+                    .astype(bf).reshape(N, Ws * 4))
+            nv8 = (nseqs_w >= 0).astype(bf)
         dim = (((1,), (1,)), ((), ()))
-        match = jax.lax.dot_general(q1h8.reshape(B, Ws * 4), n1h8,
-                                    dim,
-                                    preferred_element_type=jnp.int32)
-        both = jax.lax.dot_general(q_valid.astype(i8), nv8, dim,
-                                   preferred_element_type=jnp.int32)
+        match = jax.lax.dot_general(
+            q1h8.reshape(B, Ws * 4), n1h8, dim,
+            preferred_element_type=jnp.float32)
+        both = jax.lax.dot_general(
+            q_valid.astype(bf), nv8, dim,
+            preferred_element_type=jnp.float32)
         dist = jnp.where(both > 0,
                          (both - match).astype(f)
                          / jnp.maximum(both, 1).astype(f),

@@ -100,6 +100,10 @@ def main(argv=None):
                          "(skips the ~30 min host evaluate on reruns)")
     ap.add_argument("--eval-only", action="store_true",
                     help="internal: evaluate + write the cache, exit")
+    ap.add_argument("--profile", default="",
+                    help="dir: capture a jax profiler trace of one "
+                         "steady-state batch and print per-op device "
+                         "durations")
     args = ap.parse_args(argv)
 
     import jax
@@ -227,6 +231,35 @@ def main(argv=None):
     t0 = time.perf_counter()
     stream((0, args.batch))
     res["t_compile_s"] = round(time.perf_counter() - t0, 1)
+
+    if args.profile:
+        import glob
+        import gzip
+        jax.profiler.start_trace(args.profile)
+        stream((0, args.batch))
+        jax.profiler.stop_trace()
+        traces = sorted(glob.glob(os.path.join(
+            args.profile, "**", "*.trace.json.gz"), recursive=True),
+            key=os.path.getmtime)
+        if traces:
+            with gzip.open(traces[-1], "rt") as fh:
+                data = json.load(fh)
+            ev = data.get("traceEvents", [])
+            pid_names = {e.get("pid"): e.get("args", {}).get("name", "")
+                         for e in ev if e.get("ph") == "M"
+                         and e.get("name") == "process_name"}
+            agg = {}
+            for e in ev:
+                if e.get("ph") != "X":
+                    continue
+                pn = str(pid_names.get(e.get("pid"), ""))
+                if "TPU" not in pn and "device" not in pn.lower():
+                    continue
+                agg[e.get("name", "?")] = (agg.get(e.get("name", "?"),
+                                                   0.0)
+                                           + e.get("dur", 0.0))
+            for nm, dur in sorted(agg.items(), key=lambda kv: -kv[1])[:16]:
+                print(f"  {dur:10.0f} us  {nm[:90]}", file=sys.stderr)
 
     t0 = time.perf_counter()
     n_done = stream((0, args.reads))
