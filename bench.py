@@ -138,11 +138,12 @@ def main():
         import jax
         jax.profiler.start_trace(profile_dir)
 
-    # best of three timed passes: the remote device tunnel adds
+    # MEDIAN of three timed passes: the remote device tunnel adds
     # +-15-25% run-to-run interference that has nothing to do with
-    # the framework under test
-    rps = 0.0
-    for _ in range(1 if verbose else 3):
+    # the framework under test; a median makes round-over-round
+    # comparisons meaningful where a max rewards a lucky draw
+    passes = []
+    for _ in range(3):
         t0 = time.time()
         n_done = 0
         if verbose:
@@ -156,12 +157,17 @@ def main():
                     mode=NGCL, rng=rng):
                 n_done += sum(b is not None for b in best)
         dt = time.time() - t0
-        rps = max(rps, n_done / dt)
+        passes.append(n_done / dt)
         if profile_dir:
             import jax
             jax.profiler.stop_trace()
             profile_dir = None
             print(f"bench: profiler trace written", file=sys.stderr)
+    rps = float(np.median(passes))
+    if verbose:
+        print(f"pass throughputs: min={min(passes):.1f} "
+              f"median={rps:.1f} max={max(passes):.1f}",
+              file=sys.stderr)
 
     if verbose:
         print("stage times:", {k: round(v, 2)

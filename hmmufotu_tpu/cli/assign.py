@@ -311,9 +311,12 @@ def main(argv=None) -> int:
             # window (amplicon runs share a primer-anchored span);
             # later out-of-window reads use the exact host path
             sample = [r.seq for r in fwd_reads[:128]]
+            # rng=None: the probe must not advance the -S seeded
+            # Generator, or the main loop's seed picks (and output)
+            # would differ between --resident-window and default runs
             sample_alns = pl.align_reads(aligner, csfm, sample,
                                          args.seed_len,
-                                         args.seed_region, mode, rng)
+                                         args.seed_region, mode, None)
             scs = [a.cs_start - 1 for a in sample_alns if a.is_valid()]
             L = tree.cs_len
             W = min(512, L)

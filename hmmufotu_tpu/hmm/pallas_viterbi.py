@@ -464,9 +464,12 @@ def _dchain_bound(reg: np.ndarray, used: np.ndarray, K: int) -> int:
         return 64
     jl = np.maximum(reg[:, :, 0], 1)
     jh = np.minimum(reg[:, :, 1], K)
-    w = np.where(used, jh - jl + 1, 0)
+    # clamp: a region that clips to an empty interval (jh < jl after
+    # the [1, K] clamp) must contribute 0, not a negative width that
+    # would undercount the bound and truncate the D-chain scan
+    w = np.where(used, np.maximum(jh - jl + 1, 0), 0)
     isd = (reg[:, :, 5] != 0) & used
-    wd = reg[:, :, 7] - reg[:, :, 6] + 1
+    wd = np.maximum(reg[:, :, 7] - reg[:, :, 6] + 1, 0)
     w = np.where(isd, np.minimum(w, wd), w)
     m = int(w.sum(axis=1).max())
     # COARSE buckets: every distinct value is a separate 2-8 min jit

@@ -325,6 +325,43 @@ def _fixed_point_branch(log_pi, U, V, w0, site_mask, max_len,
     return jnp.minimum(w, max_len)
 
 
+def seed_pdist_bf16(seqs_w: jax.Array, q_valid: jax.Array,
+                    n1h8: jax.Array, nv8: jax.Array,
+                    out_dtype) -> jax.Array:
+    """Seed p-dist of [B, Ws] digital reads vs [N] node one-hot planes
+    as bf16-operand / f32-accumulate MXU matmuls (reference
+    SeqUtils::pDist, SeqUtils.cpp:31-47, dual-gap skip via validity
+    planes).
+
+    Counts are sums of 0/1 products (< 2^24), so the bf16 form is
+    EXACT — bit-equal to integer counting — while running at the MXU's
+    bf16 rate (~4x the f32 rate the earlier int8 operands were
+    silently upcast to: the s8 dot at [1024]x[150k] profiled ~27 ms).
+
+    seqs_w:  [B, Ws] int8 digital reads (-2 pad / -1 gap / 0-3 base)
+    q_valid: [B, Ws] bool, read base present AND inside [start, end]
+    n1h8:    [N, Ws*4] bf16 node one-hot planes
+    nv8:     [N, Ws] bf16 node validity
+    Returns [B, N] out_dtype p-dist (nan where no site overlaps).
+    """
+    B, Ws = seqs_w.shape
+    bf = jnp.bfloat16
+    base4 = jnp.arange(4, dtype=jnp.int8)
+    q1h8 = ((seqs_w[:, :, None] == base4)
+            & q_valid[:, :, None]).astype(bf)           # [B, Ws, 4]
+    dim = (((1,), (1,)), ((), ()))
+    match = jax.lax.dot_general(
+        q1h8.reshape(B, Ws * 4), n1h8, dim,
+        preferred_element_type=jnp.float32)
+    both = jax.lax.dot_general(
+        q_valid.astype(bf), nv8, dim,
+        preferred_element_type=jnp.float32)
+    return jnp.where(both > 0,
+                     (both - match).astype(out_dtype)
+                     / jnp.maximum(both, 1).astype(out_dtype),
+                     jnp.nan)                           # [B, N]
+
+
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
                                    "L", "height_prior", "ml_only",
                                    "fp_pallas", "sep_pallas", "opt_k",
@@ -385,45 +422,25 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
     win = (site_idx >= starts[:, None]) \
         & (site_idx <= ends[:, None])                   # [B, Ws]
     q_valid = (seqs_w >= 0) & win
-    # mismatch counting via int8 one-hot matmuls: the [B,Ws]x[N,Ws]
-    # reduction rides the MXU's s8xs8->s32 path (exact integer counts,
-    # identical to the f32 form) and never materializes an f32 one-hot
-    # of the full node matrix — 4x less HBM at reference tree scale.
+    # mismatch counting via compact one-hot matmuls (seed_pdist_bf16:
+    # bf16 operands, f32 accumulate — exactly integral counts) that
+    # never materialize an f32 one-hot of the full node matrix.
     # HMMUFOTU_SEED_I8=0 switches back to the f32 einsum form (A/B).
-    i8 = jnp.int8
     f = dt.pi.dtype
-    base4 = jnp.arange(4, dtype=i8)
+    base4 = jnp.arange(4, dtype=jnp.int8)
     use_i8 = (dt.seq1h is not None or SEED_I8 == "1"
               or (SEED_I8 == "auto" and N >= SEED_I8_MIN_NODES))
     if use_i8:
-        # operands as bf16 with f32 accumulation: counts are sums of
-        # 0/1 products (< 2^24), so the result is EXACT, and the
-        # bf16 MXU path is ~4x the f32 one the int8 operands were
-        # silently upcast to (profiled: the s8 dot at [1024]x[150k]
-        # ran ~27 ms; bf16 runs it at MXU bf16 rate)
-        bf = jnp.bfloat16
-        q1h8 = ((seqs_w[:, :, None] == base4)
-                & q_valid[:, :, None]).astype(bf)       # [B, Ws, 4]
         if dt.seq1h is not None:
-            n1h8 = dt.seq1h.astype(bf)                  # [N, Ws*4]
-            nv8 = dt.nvalid.astype(bf)                  # [N, Ws]
+            n1h8 = dt.seq1h.astype(jnp.bfloat16)        # [N, Ws*4]
+            nv8 = dt.nvalid.astype(jnp.bfloat16)        # [N, Ws]
         else:
             nseqs_w = jax.lax.dynamic_slice(
                 dt.seqs, (0, s0 - dt.msg_s0), (N, Ws))
             n1h8 = ((nseqs_w[:, :, None] == base4)
-                    .astype(bf).reshape(N, Ws * 4))
-            nv8 = (nseqs_w >= 0).astype(bf)
-        dim = (((1,), (1,)), ((), ()))
-        match = jax.lax.dot_general(
-            q1h8.reshape(B, Ws * 4), n1h8, dim,
-            preferred_element_type=jnp.float32)
-        both = jax.lax.dot_general(
-            q_valid.astype(bf), nv8, dim,
-            preferred_element_type=jnp.float32)
-        dist = jnp.where(both > 0,
-                         (both - match).astype(f)
-                         / jnp.maximum(both, 1).astype(f),
-                         jnp.nan)                       # [B, N]
+                    .astype(jnp.bfloat16).reshape(N, Ws * 4))
+            nv8 = (nseqs_w >= 0).astype(jnp.bfloat16)
+        dist = seed_pdist_bf16(seqs_w, q_valid, n1h8, nv8, f)
     else:
         nseqs_w = jax.lax.dynamic_slice(
             dt.seqs, (0, s0 - dt.msg_s0), (N, Ws))

@@ -534,12 +534,16 @@ def dispatch_place_batch(tree: PTUnrooted, placer, alns,
                 seq = aln_to_digital(tree, alns[r])
                 host_rows[int(r)] = assign_read(
                     tree, alns[r], seq, max_diff, max_height,
-                    DEFAULT_MAX_NSEED, max_error,
+                    placer.C, max_error,
                     prior_type=prior_type, ml_only=ml_only)
-            # neutralize for the device call (decoded rows replaced)
-            starts = np.where(oow, w0, starts).astype(starts.dtype)
-            ends = np.where(oow, w0, ends).astype(ends.dtype)
-            seqs[oow] = -2
+        # neutralize host-routed rows AND invalid alignments for the
+        # device call (invalid rows keep starts=0 from _aln_windows,
+        # which would trip dispatch_win's window check when w0 > 0)
+        neut = oow | ~valid
+        if neut.any():
+            starts = np.where(neut, w0, starts).astype(starts.dtype)
+            ends = np.where(neut, w0, ends).astype(ends.dtype)
+            seqs[neut] = -2
     out = placer.dispatch_win(seqs, starts, ends, max_diff, max_height,
                               max_error,
                               height_prior=(prior_type == "height"),

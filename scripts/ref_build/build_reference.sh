@@ -95,7 +95,7 @@ for f in DegenAlphabet IUPACNucl IUPACAmino DNA AlphabetFactory \
 done
 compile "$HERE/newick_stub.cpp"
 compile "$HERE/newick_parse.cpp"
-for m in hmmufotu hmmufotu-build; do
+for m in hmmufotu hmmufotu-build hmmufotu-jplace; do
     compile "$REF/$m.cpp"
 done
 wait
@@ -116,4 +116,8 @@ $CXX $COMMON_FLAGS -o "$OUT/hmmufotu" hmmufotu.o HmmUFOtu_main.o \
     newick_stub.o $LIBOBJS
 $CXX $COMMON_FLAGS -o "$OUT/hmmufotu-build" hmmufotu-build.o \
     newick_parse.o $LIBOBJS
-echo "built: $OUT/hmmufotu $OUT/hmmufotu-build"
+# jplace converter (jsoncpp replaced by shim/json/json.h — output is
+# semantically-equal JSON with alphabetic member order)
+$CXX $COMMON_FLAGS -o "$OUT/hmmufotu-jplace" hmmufotu-jplace.o \
+    HmmUFOtu_main.o newick_stub.o $LIBOBJS
+echo "built: $OUT/hmmufotu $OUT/hmmufotu-build $OUT/hmmufotu-jplace"

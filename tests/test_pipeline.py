@@ -303,6 +303,48 @@ class TestWindowResidentPlacer:
                                    rtol=5e-3, atol=3.0)
 
 
+class TestResidentWindowInvalidRow:
+    """A batch containing an unalignable read must not crash a
+    resident-window run whose window starts past column 0: the invalid
+    row keeps starts=0 from _aln_windows, which would trip
+    dispatch_win's window check unless neutralized (round-5 advisor
+    high finding)."""
+
+    def test_invalid_row_offset_window(self, db_prefix):
+        from hmmufotu_tpu import pipeline as pl
+        from hmmufotu_tpu.db import Database
+        from hmmufotu_tpu.hmm.profile import HmmAlignment
+        from hmmufotu_tpu.hmm.viterbi import ViterbiAligner
+        from hmmufotu_tpu.phylo.placement import DevicePlacer
+        from hmmufotu_tpu.alphabet import get_alphabet
+        db = Database.load(db_prefix)
+        tree, abc = db.ptu, get_alphabet("dna")
+        aligner = ViterbiAligner(db.hmm)
+        rng = np.random.default_rng(11)
+        leaves = [u for u in range(tree.num_nodes)
+                  if tree.is_leaf(u) and tree.msa_id[u] >= 0]
+        reads = []
+        for _ in range(4):
+            codes = tree.seqs[int(rng.choice(leaves))]
+            pos = np.nonzero(codes >= 0)[0]
+            # bias toward the tail so aligned starts land past col 128
+            w = pos[len(pos) // 2:len(pos) // 2 + 180]
+            reads.append(abc.decode(codes[w]))
+        alns = pl.align_reads(aligner, db.csfm, reads)
+        assert all(a.is_valid() for a in alns)
+        # one unalignable read: align_batch yields a default-invalid
+        # HmmAlignment for reads the DP rejects
+        alns.append(HmmAlignment())
+        starts = np.array([a.cs_start - 1 for a in alns[:-1]])
+        s0 = max(128, int(starts.min()) - int(starts.min()) % 128)
+        Ws = min(tree.cs_len - s0, 512)
+        placer = DevicePlacer(tree, window=384, site_window=(s0, Ws))
+        handle = pl.dispatch_place_batch(tree, placer, alns)
+        results = pl.collect_place_batch(handle)
+        assert results[-1] is None          # invalid row: no placement
+        assert sum(p is not None for p in results[:-1]) >= 3
+
+
 class TestResidentWindowCLI:
     """assign --resident-window: the single-chip capacity mode must
     reproduce default output (full window = byte-identical; small

@@ -248,3 +248,45 @@ class TestSerialization:
         assert s.endswith(";") and s.count("(") == s.count(")")
         j = base_tree.to_jplace_tree()
         assert "{" in j and "}" in j
+
+
+class TestSeedPdistBf16:
+    """The bf16-operand / f32-accumulate seed p-dist matmul must be
+    EXACTLY integral and equal to numpy mismatch counting — the claim
+    the MXU fast path rests on (counts are sums of 0/1 products
+    < 2^24; reference SeqUtils::pDist dual-gap skip)."""
+
+    def test_exact_vs_numpy_ws1024(self):
+        import jax.numpy as jnp
+        from hmmufotu_tpu.phylo.placement import seed_pdist_bf16
+        rng = np.random.default_rng(17)
+        B, N, Ws = 16, 300, 1024
+        seqs_w = rng.integers(-2, 4, (B, Ws)).astype(np.int8)
+        nseqs = rng.integers(-2, 4, (N, Ws)).astype(np.int8)
+        starts = rng.integers(0, Ws // 2, B)
+        ends = starts + rng.integers(100, Ws // 2, B)
+        site = np.arange(Ws)[None, :]
+        q_valid = (seqs_w >= 0) & (site >= starts[:, None]) \
+            & (site <= ends[:, None])
+        n1h = (nseqs[:, :, None] == np.arange(4, dtype=np.int8)) \
+            .astype(np.float32).reshape(N, Ws * 4)
+        nv = (nseqs >= 0).astype(np.float32)
+        dist = np.asarray(seed_pdist_bf16(
+            jnp.asarray(seqs_w), jnp.asarray(q_valid),
+            jnp.asarray(n1h, jnp.bfloat16), jnp.asarray(nv, jnp.bfloat16),
+            jnp.float32))
+        # numpy oracle: integer mismatch counts over co-valid sites
+        nvalid = nseqs >= 0
+        for b in range(B):
+            for n in range(0, N, 37):
+                both = q_valid[b] & nvalid[n]
+                nb = int(both.sum())
+                if nb == 0:
+                    assert np.isnan(dist[b, n])
+                    continue
+                mism = int((seqs_w[b][both] != nseqs[n][both]).sum())
+                # the accumulated counts are exactly integral, so the
+                # result is BIT-EQUAL to the f32 quotient of the
+                # integer counts
+                want = np.float32(mism) / np.float32(nb)
+                assert dist[b, n] == want
