@@ -68,6 +68,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("-m", "--method", default="unweighted",
                    choices=["unweighted", "weighted"])
     p.add_argument("--ML", action="store_true", dest="ml_only")
+    p.add_argument("--ref-rank", action="store_true",
+                   help="reference-binary compatibility ranking: pick "
+                        "the candidate with the best ESTIMATE-stage "
+                        "loglik, matching the v1.5.1 binary's "
+                        "effective (degenerate) qPlace ordering — see "
+                        "PARITY.md 'reference-binary parity'")
     p.add_argument("--prior", default="uniform",
                    choices=["uniform", "height"])
     p.add_argument("-C", "--chimera", action="store_true",
@@ -329,7 +335,7 @@ def main(argv=None) -> int:
         placer = DevicePlacer(
             tree, max_nseed=args.max_nseed, opt_k=args.opt_k or None,
             msg_dtype=jnp.bfloat16 if args.msg_bf16 else None,
-            site_window=site_window)
+            site_window=site_window, ref_rank=args.ref_rank)
 
     # restartable batches: on --resume, skip reads already present in
     # the output and append (the stream-processing checkpoint story;

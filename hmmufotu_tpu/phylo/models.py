@@ -406,11 +406,19 @@ class GTR(SubModel):
         return self._pi
 
     def _set_q_from_params(self):
-        # reference GTR.cpp:124-145
+        # reference GTR.cpp:124-145.  NOTE the reference's
+        # `Q = scale(Q)` (GTR.cpp:131) uses scale's DEFAULT pi=ones
+        # (DNASubModel.h:154), i.e. it normalizes by -trace(Q), NOT the
+        # textbook pi-weighted unit-substitution rate the other models'
+        # closed forms use.  The shipped gg_97 DB and every reference
+        # binary are consistent in that convention, so matching it is
+        # required for cross-loading parity (this scaled GTR Pr(t) by
+        # ~3.9x before round 5 — found by the reference-binary
+        # estimate-loglik dump, PARITY.md "reference-binary parity").
         Q = self.R * self._pi[None, :]
         np.fill_diagonal(Q, 0.0)
         np.fill_diagonal(Q, -Q.sum(axis=1))
-        Q = self.scale_q(Q, self._pi)
+        Q = self.scale_q(Q, np.ones(4))
         self.Q = Q
         # reversible Q is similar to the symmetric B = D^1/2 Q D^-1/2
         # (D = diag(pi)); eigh gives orthogonal eigenvectors, which keeps
@@ -463,7 +471,10 @@ class GTR(SubModel):
             Qv = self.constrained_q_from_p(P)
             if self.is_valid_rate(Qv):
                 n += 1
-                Q += self.scale_q(Qv, self._pi)
+                # reference GTR.cpp:105 `Q += scale(Qv)` — default
+                # pi=ones, i.e. trace normalization (see
+                # _set_q_from_params)
+                Q += self.scale_q(Qv, np.ones(4))
         Q /= max(n, 1)
         R = Q / self._pi[None, :]
         np.fill_diagonal(R, 0.0)

@@ -365,7 +365,8 @@ def seed_pdist_bf16(seqs_w: jax.Array, q_valid: jax.Array,
 @partial(jax.jit, static_argnames=("Pr_fn", "W", "C", "n_rates",
                                    "L", "height_prior", "ml_only",
                                    "fp_pallas", "sep_pallas", "opt_k",
-                                   "Ws", "est_kernel", "debug_trips"))
+                                   "Ws", "est_kernel", "debug_trips",
+                                   "ref_rank"))
 def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        starts: jax.Array, ends: jax.Array,
                        Pr_fn, max_diff: float, max_height: float,
@@ -377,7 +378,8 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
                        eig=None, node_lo=None, opt_k: int | None = None,
                        s0=None, Ws: int | None = None,
                        est_kernel: bool = True,
-                       debug_trips: bool = False):
+                       debug_trips: bool = False,
+                       ref_rank: bool = False):
     """Full SEP placement of a read batch.
 
     seq_win: [B, W] int8 aligned digital reads, pre-sliced to the
@@ -600,7 +602,7 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
         loglik = jnp.where(live, ll, -INF)
         out = _finish_placement(
             dt, cand, c_dist, live, w0, wur_f, wvr_f, wnr_f, loglik,
-            est_loglik_k, max_height, height_prior, ml_only)
+            est_loglik_k, max_height, height_prior, ml_only, ref_rank)
         if debug_trips:
             out["sep_trips"] = jnp.stack(res[4:6], axis=-1)
             out["sep_live"] = live
@@ -644,12 +646,24 @@ def place_batch_device(dt: DeviceTree, seq_win: jax.Array,
 
     return _finish_placement(
         dt, cand, c_dist, live, w0, wur_f, wvr_f, wnr_f, loglik,
-        est_loglik_k, max_height, height_prior, ml_only)
+        est_loglik_k, max_height, height_prior, ml_only, ref_rank)
+
+
+# front element of libstdc++ std::sort(rbegin, rend, always-false) on
+# n all-equal elements, indexed by n (measured: g++ 13 / libstdc++ on
+# this host, the toolchain that built the reference baseline binary);
+# identity below the 16-element insertion-sort threshold
+_INTROSORT_FRONT = (
+    0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0, 0,
+    15, 16, 17, 18, 19, 20, 21, 22, 23, 24, 25, 26, 27, 28, 29, 30,
+    31, 17, 18, 18, 19, 19, 20, 20, 21, 21, 22, 22, 23, 23, 24, 24,
+    25, 25, 26, 26, 27, 27, 28, 28, 29, 29, 30, 30, 31, 31, 32, 32)
 
 
 def _finish_placement(dt: DeviceTree, cand, c_dist, live, w0,
                       wur_f, wvr_f, wnr_f, loglik, est_loglik_k,
-                      max_height, height_prior, ml_only):
+                      max_height, height_prior, ml_only,
+                      ref_rank: bool = False):
     # ---- device Q values + best-placement summary -----------------------
     # (calcQValues, HmmUFOtu_main.cpp:182-216, with taxon grouping via
     # dense anno ids)
@@ -681,8 +695,29 @@ def _finish_placement(dt: DeviceTree, cand, c_dist, live, w0,
     post_tax = jnp.exp(lse_tax - lse_all)
     q_taxon = jnp.minimum(-10.0 * jnp.log10(
         jnp.maximum(1.0 - post_tax, 0.0)), 250.0)
-    best = (jnp.argmax(jnp.where(live, loglik, -INF), axis=1)
-            if ml_only else jnp.argmax(pp, axis=1))
+    if ref_rank:
+        # reference-BINARY compatibility: v1.5.1's placeSeq loses the
+        # accurate loglik (initRootLoglik + a discarded const loglik()
+        # loop leave the root cache at INVALID_LOGLIK=1,
+        # PhyloTreeUnrooted.cpp:916-923,69), so its reported loglik is
+        # end-start+1 for EVERY candidate, all qPlace tie, and the
+        # final unstable std::sort (hmmufotu.cpp:730) permutes
+        # filterPlacements' order — descending ESTIMATE-stage loglik
+        # (HmmUFOtu_main.cpp:166).  libstdc++ introsort on k all-equal
+        # keys is deterministic given k: identity for k<17 (insertion
+        # sort), else it brings the element at est-rank PERM[k] to the
+        # front (measured with the toolchain that built the reference
+        # baseline; scripts/ref_build notes).
+        est_live = jnp.where(live, est_loglik_k, -INF)
+        order = jnp.argsort(-est_live, axis=1)          # est-desc
+        k = live.sum(axis=1)
+        pick_rank = jnp.asarray(_INTROSORT_FRONT, jnp.int32)[
+            jnp.clip(k, 0, len(_INTROSORT_FRONT) - 1)]
+        best = jnp.take_along_axis(order, pick_rank[:, None],
+                                   axis=1)[:, 0]
+    else:
+        best = (jnp.argmax(jnp.where(live, loglik, -INF), axis=1)
+                if ml_only else jnp.argmax(pp, axis=1))
 
     def pick(x):
         return jnp.take_along_axis(x, best[:, None], axis=1)[:, 0]
@@ -741,7 +776,8 @@ class DevicePlacer:
                  sep_pallas: bool | None = None,
                  opt_k: int | None = None,
                  est_kernel: bool = True,
-                 site_window: tuple[int, int] | None = None):
+                 site_window: tuple[int, int] | None = None,
+                 ref_rank: bool = False):
         """site_window=(s0, Ws): single-chip capacity mode — stage only
         CS columns [s0, s0+Ws) of the HBM-dominant per-node tensors
         (see DeviceTree.from_tree).  Every placed read's W-wide window
@@ -750,6 +786,7 @@ class DevicePlacer:
         self.tree = tree
         self.W = min(window, tree.cs_len)
         self.C = max_nseed
+        self.ref_rank = ref_rank    # emulate the binary's degenerate rank
         self.opt_k = opt_k          # None = optimize all live (faithful)
         self.est_kernel = est_kernel
         if site_window is not None:
@@ -838,7 +875,7 @@ class DevicePlacer:
             self.n_rates, self.tree.cs_len, height_prior, ml_only,
             self.fp_pallas, self.sep_pallas, self.eig,
             opt_k=self.opt_k, s0=jnp.asarray(s0, jnp.int32), Ws=Ws,
-            est_kernel=self.est_kernel)
+            est_kernel=self.est_kernel, ref_rank=self.ref_rank)
 
     def union_window(self, starts) -> tuple[int, int]:
         """(s0, Ws) covering every read's site window in the batch.

@@ -402,9 +402,16 @@ def assign_read(tree: PTUnrooted, aln: HmmAlignment, seq: np.ndarray,
                 max_error: float = DEFAULT_MAX_PLACE_ERROR,
                 method: str = "unweighted",
                 prior_type: str = "uniform",
-                ml_only: bool = False) -> PTPlacement | None:
+                ml_only: bool = False,
+                ref_rank: bool = False) -> PTPlacement | None:
     """Full SEP placement of one aligned read; returns the best
-    placement (reference hmmufotu.cpp task body, :640-751)."""
+    placement (reference hmmufotu.cpp task body, :640-751).
+
+    ref_rank emulates the v1.5.1 BINARY's effective selection: its
+    placeSeq returns end-start+1 for every candidate (initRootLoglik
+    + discarded const loglik() loop, PhyloTreeUnrooted.cpp:916-923
+    with INVALID_LOGLIK=1), so all qPlace tie and the winner is
+    filterPlacements' front — the best ESTIMATE-stage loglik."""
     start, end = aln.cs_start - 1, aln.cs_end - 1
     locs = get_seed(tree, seq, start, end, max_diff, max_height,
                     max_nseed)
@@ -412,7 +419,16 @@ def assign_read(tree: PTUnrooted, aln: HmmAlignment, seq: np.ndarray,
         return None
     places = estimate_seq(tree, seq, locs, method)
     places = filter_placements(places, max_error)
+    est = [p.loglik for p in places]    # estimate-stage logliks
     places = place_seq(tree, seq, places, max_height)
+    if ref_rank:
+        if not ml_only:
+            calc_q_values(tree, places, prior_type)
+        from .phylo.placement import _INTROSORT_FRONT
+        order = np.argsort(-np.asarray(est), kind="stable")
+        rank = _INTROSORT_FRONT[min(len(places),
+                                    len(_INTROSORT_FRONT) - 1)]
+        return places[int(order[rank])]
     if not ml_only:
         calc_q_values(tree, places, prior_type)
         # reference sorts descending by qPlace and takes the top
@@ -535,7 +551,8 @@ def dispatch_place_batch(tree: PTUnrooted, placer, alns,
                 host_rows[int(r)] = assign_read(
                     tree, alns[r], seq, max_diff, max_height,
                     placer.C, max_error,
-                    prior_type=prior_type, ml_only=ml_only)
+                    prior_type=prior_type, ml_only=ml_only,
+                    ref_rank=getattr(placer, "ref_rank", False))
         # neutralize host-routed rows AND invalid alignments for the
         # device call (invalid rows keep starts=0 from _aln_windows,
         # which would trip dispatch_win's window check when w0 > 0)

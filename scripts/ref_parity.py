@@ -205,10 +205,20 @@ def main(argv=None):
         # -s 1: reads are first-strand by construction; skips the
         # strand autodetect (which is itself seed-order dependent)
         run(ref_cmd + ["-o", ref_out, "-s", "1", "-S", "1", "-p", "2"])
+        # two framework runs: default (true-loglik posterior ranking,
+        # the reference's documented intent) and --ref-rank (emulating
+        # the binary's effective estimate-stage ordering after its
+        # placeSeq loglik bug — see PARITY.md)
         assert assign_main(fw_cmd + ["-o", fw_out, "-s", "1",
                                      "-S", "1"]) == 0
         summaries.append(compare(parse_tsv(ref_out),
                                  parse_tsv(fw_out), tag, report))
+        fw_rr = os.path.join(wd, f"{tag}_fw_refrank.tsv")
+        assert assign_main(fw_cmd + ["-o", fw_rr, "-s", "1",
+                                     "-S", "1", "--ref-rank"]) == 0
+        summaries.append(compare(parse_tsv(ref_out),
+                                 parse_tsv(fw_rr),
+                                 tag + "+refrank", report))
 
         if paired:
             # jplace parity: reference converter (built with the json

@@ -32,10 +32,11 @@ def test_train_sm(tmp_path):
     m = load_model(out)
     assert m.name == "GTR"
     np.testing.assert_allclose(m.pi.sum(), 1.0, rtol=1e-6)
-    # trained rate matrix rows sum to ~0 and it is scaled to 1 sub/unit
+    # trained rate matrix rows sum to ~0 and it is normalized by
+    # -trace(Q) = 1 — the reference's GTR convention (scale's default
+    # pi=ones, GTR.cpp:131; see models.GTR._set_q_from_params)
     np.testing.assert_allclose(m.Q.sum(axis=1), 0.0, atol=1e-8)
-    np.testing.assert_allclose(-(m.pi * np.diag(m.Q)).sum(), 1.0,
-                               rtol=1e-6)
+    np.testing.assert_allclose(-np.trace(m.Q), 1.0, rtol=1e-6)
 
 
 def test_train_dm(tmp_path):

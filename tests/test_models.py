@@ -70,11 +70,13 @@ class TestSubModels:
 
 
 class TestGTRSpecifics:
-    def test_unit_rate(self, fixtures_dir):
+    def test_reference_trace_scaling(self, fixtures_dir):
         gtr = load_model(os.path.join(fixtures_dir, "gg_97_otus_GTR.sm"))
-        # Q scaled to 1 expected substitution per unit time
-        # (reference DNASubModel::scale, GTR::setQfromParams)
-        assert float(gtr.pi @ np.diag(gtr.Q)) == pytest.approx(-1.0)
+        # the reference's GTR::setQfromParams normalizes Q by -trace(Q)
+        # (scale's default pi=ones, DNASubModel.h:154 + GTR.cpp:131) —
+        # NOT the pi-weighted unit-substitution rate; the shipped gg_97
+        # DB's branch lengths are in that convention
+        assert float(np.trace(gtr.Q)) == pytest.approx(-1.0)
         assert np.allclose(gtr.Q.sum(axis=1), 0.0, atol=1e-12)
 
     def test_training_recovers_params(self):

@@ -295,12 +295,21 @@ class TestWindowResidentPlacer:
                            msg_dtype=jnp.bfloat16)
         of = full.place_batch(seqs, starts, ends)
         ow = win.place_batch(seqs, starts, ends)
-        # seed p-dist doesn't touch messages: identical candidates
-        np.testing.assert_array_equal(of["cand"], ow["cand"])
-        live = of["live"]
-        np.testing.assert_allclose(of["loglik"][live],
-                                   ow["loglik"][live],
-                                   rtol=5e-3, atol=3.0)
+        # seed p-dist doesn't touch messages, so the candidate SET is
+        # identical; the grid ORDER is est-loglik-ranked (take_c
+        # compaction) and est near-ties may flip under bf16 message
+        # quantization — compare per-read sorted sets
+        np.testing.assert_array_equal(np.sort(of["cand"], axis=1),
+                                      np.sort(ow["cand"], axis=1))
+        # align win's slots to full's candidate ids before comparing
+        # per-candidate logliks
+        for b in range(len(seqs)):
+            perm = np.argsort(ow["cand"][b])[
+                np.searchsorted(np.sort(ow["cand"][b]), of["cand"][b])]
+            live = of["live"][b]
+            np.testing.assert_allclose(of["loglik"][b][live],
+                                       ow["loglik"][b][perm][live],
+                                       rtol=5e-3, atol=3.0)
 
 
 class TestResidentWindowInvalidRow:
@@ -596,7 +605,12 @@ class TestChimera:
             pos = np.nonzero(codes >= 0)[0]
             return "".join("ACGT"[c] for c in codes[pos[lo:lo + n]])
 
-        chimera = ungapped(u5, 10, 120) + ungapped(u3, 600, 120)
+        # a contiguous chimera: the 3' half continues at the SAME
+        # ungapped offset in the other taxon, so one banded alignment
+        # covers the junction (a disjoint-region construction lets the
+        # aligner clamp to one half, after which both segments
+        # legitimately agree and no chimera exists to detect)
+        chimera = ungapped(u5, 10, 120) + ungapped(u3, 130, 120)
         clean = ungapped(u3, 400, 240)
         reads = str(tmp_path / "chim.fasta")
         with open(reads, "w") as fh:
