@@ -222,13 +222,16 @@ def main(argv=None):
 
         if paired:
             # jplace parity: reference converter (built with the json
-            # shim) vs cli/jplace, each on ITS OWN assignment TSV
+            # shim) vs cli/jplace, each on ITS OWN assignment TSV —
+            # the framework side uses the --ref-rank TSV so the edge
+            # comparison isolates the jplace conversion rather than
+            # re-measuring the ranking difference
             ref_jp = os.path.join(REF_DIR, "hmmufotu-jplace")
             if os.path.exists(ref_jp):
                 rj = os.path.join(wd, f"{tag}_ref.jplace")
                 fj = os.path.join(wd, f"{tag}_fw.jplace")
                 run([ref_jp, prefix, ref_out, "-o", rj])
-                assert jplace_main([prefix, fw_out, "-o", fj]) == 0
+                assert jplace_main([prefix, fw_rr, "-o", fj]) == 0
                 summaries.append(compare_jplace(rj, fj, report))
 
     print("\n== reference-binary parity summary ==")
