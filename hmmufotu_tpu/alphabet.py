@@ -158,11 +158,24 @@ IUPACNucl = DegenAlphabet(
     "IUPACNucl", "ACGT", _IUPAC_DEGEN, alias="DNA", complements=_IUPAC_COMPL,
 )
 
-_BY_NAME = {"DNA": DNA, "dna": DNA, "IUPACNucl": IUPACNucl}
+# IUPAC amino acids (reference: src/IUPACAmino.{h,cpp} — registered in
+# the factory, AlphabetFactory.cpp:39, though no reference binary's
+# pipeline uses it; completeness parity).  No complement (amino acids
+# have none — IUPACAmino::hasComplement returns false).
+IUPACAmino = DegenAlphabet(
+    "IUPACAmino", "ACDEFGHIKLMNPQRSTVWY",
+    {"B": "DN", "X": "ACDEFGHIKLMNPQRSTVWY", "Z": "EQ"},
+    alias="AMINO",
+)
+
+_BY_NAME = {"DNA": DNA, "dna": DNA, "IUPACNucl": IUPACNucl,
+            "rna": IUPACNucl,
+            "protein": IUPACAmino, "IUPACAmino": IUPACAmino}
 
 
 def get_alphabet(name: str) -> DegenAlphabet:
-    """AlphabetFactory equivalent (reference: src/AlphabetFactory.h:41-47)."""
+    """AlphabetFactory equivalent (reference AlphabetFactory.cpp:41-49:
+    dna/rna/IUPACNucl -> nucleotide, protein/IUPACAmino -> amino)."""
     try:
         return _BY_NAME[name]
     except KeyError:

@@ -39,6 +39,21 @@ class TestAlphabet:
     def test_decode(self):
         assert DNA.decode(np.array([0, 1, GAP_BASE, 3], dtype=np.int8)) == "AC-T"
 
+    def test_amino(self):
+        # reference IUPACAmino.{h,cpp}: 20 symbols, degen B/X/Z to the
+        # first expansion symbol, no complement; factory names
+        # 'protein'/'IUPACAmino' (AlphabetFactory.cpp:45-46)
+        from hmmufotu_tpu.alphabet import IUPACAmino, get_alphabet
+        assert get_alphabet("protein") is IUPACAmino
+        assert get_alphabet("IUPACAmino") is IUPACAmino
+        assert IUPACAmino.size == 20
+        assert list(IUPACAmino.encode("ACDW")) == [0, 1, 2, 18]
+        assert IUPACAmino.encode_char("B") == IUPACAmino.encode_char("D")
+        assert IUPACAmino.encode_char("X") == IUPACAmino.encode_char("A")
+        assert IUPACAmino.encode_char("Z") == IUPACAmino.encode_char("E")
+        assert IUPACAmino.encode_char("-") == GAP_BASE
+        assert IUPACAmino.decode(IUPACAmino.encode("MKWVTFISLLF")) == "MKWVTFISLLF"
+
 
 class TestSeqIO:
     def test_fasta_roundtrip(self, tmp_path):
