@@ -13,6 +13,8 @@ through the batched device Viterbi.
 from __future__ import annotations
 
 import math
+import os
+import sys
 from dataclasses import dataclass
 
 import numpy as np
@@ -545,6 +547,14 @@ def dispatch_place_batch(tree: PTUnrooted, placer, alns,
         cov_end = np.minimum(ends.astype(np.int64),
                              starts.astype(np.int64) + W - 1)
         oow = valid & ((starts < w0) | (cov_end > w0 + Wr - 1))
+        if oow.any() and os.environ.get("HMMUFOTU_OOW_DEBUG"):
+            idx = np.nonzero(oow)[0]
+            print(f"[oow] {len(idx)}/{len(valid)} out of window "
+                  f"[{w0},{w0 + Wr}); first: "
+                  + "; ".join(
+                      f"r{int(r)} cs[{int(starts[r])},{int(ends[r])}]"
+                      for r in idx[:6]),
+                  file=sys.stderr, flush=True)
         if oow.any():
             for r in np.nonzero(oow)[0]:
                 seq = aln_to_digital(tree, alns[r])

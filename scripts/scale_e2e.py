@@ -37,6 +37,11 @@ import resource
 import sys
 import time
 
+
+def log(msg):
+    print(f"[{time.strftime('%H:%M:%S')}] {msg}", file=sys.stderr,
+          flush=True)
+
 import numpy as np
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
@@ -88,6 +93,7 @@ def main(argv=None):
 
     # ---- tree + model (identical construction to scale_assign) ----------
     t0 = time.perf_counter()
+    log("synth tree...")
     tree = synth_tree(args.leaves, args.length, args.seed)
     sm_path = os.path.join(REPO, "hmmufotu_tpu", "data",
                            f"gg_97_otus_{args.model}.sm")
@@ -114,6 +120,7 @@ def main(argv=None):
     del chars
 
     t0 = time.perf_counter()
+    log("csfm...")
     if csfm_cache and os.path.exists(csfm_cache):
         csfm = CSFMIndex.load(csfm_cache)
         res["csfm_cached"] = True
@@ -125,6 +132,7 @@ def main(argv=None):
     res["csfm_chars"] = int(csfm.concat_len)
 
     t0 = time.perf_counter()
+    log("hmm...")
     if hmm_cache and os.path.exists(hmm_cache):
         hmm = ProfileHMM.from_hmmer_file(hmm_cache)
         res["hmm_cached"] = True
@@ -163,6 +171,7 @@ def main(argv=None):
              "--span", str(args.span), "--cache", args.cache], env=env)
         if r.returncode:
             return r.returncode
+    log("load msg cache...")
     if cache and os.path.exists(cache):
         z = np.load(cache)
         tree.msg_up = np.zeros((tree.num_nodes, 4, L), np.float32)
@@ -184,16 +193,15 @@ def main(argv=None):
         print(json.dumps({"eval_only": True, **res}))
         return 0
 
-    # ancestral seqs (reference hmmufotu-build runs inferSeq,
-    # hmmufotu-build.cpp:466, so getSeed sweeps ALL non-root nodes);
-    # exact within the resident window, which is where all seeding
-    # happens in this workload
-    t0 = time.perf_counter()
-    tree.infer_seq()
-    res["t_inferseq_s"] = round(time.perf_counter() - t0, 1)
-
     # ---- raw read strings from in-window leaf fragments -----------------
+    # BEFORE infer_seq: simulate_window_reads samples has_seq nodes,
+    # and reads must come from real LEAF genomes (an early round-5 run
+    # sampled 40% of reads from argmax-inferred ancestor consensus
+    # seqs, whose k-mers seed all over the 405M-char index -> wide
+    # band spans, head alignments, and a 40% out-of-window fallback
+    # rate that had nothing to do with the pipeline under test)
     t0 = time.perf_counter()
+    log("simulate reads...")
     wins_full, starts_true, ends_true, leaf_ids = simulate_window_reads(
         tree, args.reads, s_lo, s_lo + Ws, args.read_len, rng)
     reads = []
@@ -202,7 +210,17 @@ def main(argv=None):
         reads.append("".join("ACGT"[c] for c in row[row >= 0]))
     res["t_simreads_s"] = round(time.perf_counter() - t0, 1)
 
+    # ancestral seqs (reference hmmufotu-build runs inferSeq,
+    # hmmufotu-build.cpp:466, so getSeed sweeps ALL non-root nodes);
+    # exact within the resident window, which is where all seeding
+    # happens in this workload
+    t0 = time.perf_counter()
+    log("infer_seq...")
+    tree.infer_seq()
+    res["t_inferseq_s"] = round(time.perf_counter() - t0, 1)
+
     # ---- production pipeline objects ------------------------------------
+    log("aligner + placer staging...")
     hmm.set_sequence_mode(GLOBAL)   # assembled-read default, like the
     hmm.wing_retract()              # reference baseline run
     aligner = ViterbiAligner(hmm)
@@ -234,10 +252,12 @@ def main(argv=None):
                 mode=GLOBAL, rng=srng):
             n_valid += sum(a.is_valid() for a in alns)
             n_done += sum(b is not None for b in best)
+            log(f"  batch done ({n_done} placed)")
         return n_done, n_valid
 
     # ---- warmup (compile every jit specialization) ----------------------
     t0 = time.perf_counter()
+    log("warmup (compile)...")
     stream(reads[:args.batch], np.random.default_rng(1))
     res["t_compile_s"] = round(time.perf_counter() - t0, 1)
     TIMING.clear()
@@ -245,6 +265,7 @@ def main(argv=None):
 
     # ---- timed end-to-end stream ----------------------------------------
     t0 = time.perf_counter()
+    log("timed stream...")
     n_done, n_valid = stream(reads, np.random.default_rng(2))
     dt = time.perf_counter() - t0
     res["reads_total"] = args.reads
