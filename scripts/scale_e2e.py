@@ -302,8 +302,9 @@ def main(argv=None):
             batches.append((alns, best))
         alns = [a for b in batches for a in b[0]][:P]
         best = [b for bb in batches for b in bb[1]][:P]
-        n_match = n_leaf = n_both = 0
+        n_match = n_leaf = n_both = n_trunc = n_trunc_mism = 0
         t0 = time.perf_counter()
+        W = placer.W
         for r in range(P):
             if best[r] is None or not alns[r].is_valid():
                 continue
@@ -313,11 +314,35 @@ def main(argv=None):
             if host is None:
                 continue
             n_both += 1
-            n_match += int(best[r].c_node == host.c_node)
+            span = alns[r].cs_end - alns[r].cs_start + 1
+            trunc = span > W       # device clamps the region to W cols
+            n_trunc += int(trunc)
+            if best[r].c_node == host.c_node:
+                n_match += 1
+            else:
+                # this synthetic tree's 150k RANDOM leaves make window
+                # logliks O(-250k/site * span); candidates within a few
+                # f32 ULPs of each other argmax-flip between the device
+                # and host summation orders.  Count as matching when
+                # the host's pick beats the device's by less than f32
+                # resolution at this magnitude (the real gg_97 tree's
+                # related sequences sit orders of magnitude above this
+                # floor; fixture categories are exact)
+                ulp = abs(host.loglik) * 2.0 ** -23
+                if host.loglik - best[r].loglik <= 8 * ulp:
+                    n_match += 1
+                else:
+                    n_trunc_mism += int(trunc)
+                    log(f"parity mismatch r{r}: dev {best[r].c_node} "
+                        f"(ll {best[r].loglik:.1f}) host "
+                        f"{host.c_node} (ll {host.loglik:.1f}) span "
+                        f"{span}" + (" TRUNCATED" if trunc else ""))
             n_leaf += int(best[r].c_node == leaf_ids[r])
         res["t_parity_s"] = round(time.perf_counter() - t0, 1)
         res["parity_reads"] = int(n_both)
         res["parity_cnode_match"] = int(n_match)
+        res["parity_span_gt_W"] = int(n_trunc)
+        res["parity_mism_span_gt_W"] = int(n_trunc_mism)
         res["dev_hits_true_leaf"] = int(n_leaf)
 
     res["peak_rss_gb"] = round(
