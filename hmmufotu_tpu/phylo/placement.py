@@ -334,9 +334,12 @@ def seed_pdist_bf16(seqs_w: jax.Array, q_valid: jax.Array,
     planes).
 
     Counts are sums of 0/1 products (< 2^24), so the bf16 form is
-    EXACT — bit-equal to integer counting — while running at the MXU's
-    bf16 rate (~4x the f32 rate the earlier int8 operands were
-    silently upcast to: the s8 dot at [1024]x[150k] profiled ~27 ms).
+    EXACT — bit-equal to integer counting (unit-tested) — and the bf16
+    node planes halve the resident HBM footprint and read traffic vs
+    f32.  A round-5 on-chip micro at [1024,5120]x[150k,5120] measured
+    all dtype forms within noise (~33-43 ms including the tunnel
+    sync floor; BASELINE.md round-5 micro note), so the dtype choice
+    is about residency, not a measured rate difference.
 
     seqs_w:  [B, Ws] int8 digital reads (-2 pad / -1 gap / 0-3 base)
     q_valid: [B, Ws] bool, read base present AND inside [start, end]
